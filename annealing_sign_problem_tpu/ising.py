@@ -227,6 +227,7 @@ def make_ising_model(
     idx = np.asarray(idx)[:n]
     member = np.asarray(member)[:n]
     elements = np.asarray(elements, dtype=np.float64)[:n]
+    idx = np.where(member, idx, 0)  # padded-slot indices may exceed n
 
     W = idx.shape[1]
     rows = np.repeat(np.arange(n, dtype=np.int64), W).reshape(n, W)

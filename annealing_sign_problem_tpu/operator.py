@@ -220,7 +220,7 @@ class Operator:
         This is the cached sparse-matrix-free form used by :meth:`matvec`
         (the Lanczos hot loop) and by the Ising-model builder.
         """
-        key = ("ell", str(dtype))
+        key = ("ell", np.dtype(dtype).name)
         if key not in self._ell_cache:
             states = self.basis.states_device
 

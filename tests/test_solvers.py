@@ -1,0 +1,133 @@
+import numpy as np
+import pytest
+import scipy.sparse
+
+from annealing_sign_problem_tpu import bits
+from annealing_sign_problem_tpu.ising import IsingHamiltonian
+from annealing_sign_problem_tpu.solvers import (
+    anneal,
+    estimate_betas,
+    greedy_coloring,
+    greedy_solve,
+)
+from annealing_sign_problem_tpu.solvers import _native
+from annealing_sign_problem_tpu.solvers.coloring import color_classes
+from annealing_sign_problem_tpu.ops.sweeps_xla import make_color_plan
+
+
+def random_ising(n, degree, seed, field=False):
+    rng = np.random.RandomState(seed)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for j in rng.choice(n, size=degree, replace=False):
+            if i < j:
+                rows.append(i)
+                cols.append(j)
+                vals.append(rng.standard_normal())
+    m = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    m = 0.5 * (m + m.T)
+    h = rng.standard_normal(n) if field else np.zeros(n)
+    return IsingHamiltonian(m.tocsr(), h)
+
+
+def brute_force_minimum(h: IsingHamiltonian):
+    n = h.size
+    best_e, best_s = np.inf, None
+    for m in range(1 << n):
+        s = 2.0 * np.array([(m >> i) & 1 for i in range(n)]) - 1.0
+        e = h.energy(s)
+        if e < best_e:
+            best_e, best_s = e, s
+    return best_e, best_s
+
+
+def test_native_library_builds():
+    lib = _native.library()
+    assert lib is not None, "C++ solver library failed to build"
+
+
+def test_coloring_is_proper():
+    h = random_ising(200, 6, seed=1)
+    colors = greedy_coloring(h.exchange)
+    m = h.exchange.tocoo()
+    off = m.row != m.col
+    assert np.all(colors[m.row[off]] != colors[m.col[off]])
+    classes = color_classes(colors)
+    assert sum(len(c) for c in classes) == 200
+
+
+def test_greedy_exact_on_tiny():
+    for seed in range(5):
+        h = random_ising(10, 4, seed=seed)
+        e_exact, _ = brute_force_minimum(h)
+        x, e = greedy_solve(h)
+        # greedy with polish should be at or near the global optimum on
+        # tiny dense-ish problems; always a valid local minimum
+        assert e <= 0.0
+        assert e >= e_exact - 1e-12
+        # local minimality: no single flip improves
+        signs = bits.bits_to_signs(x, h.size)
+        J = h.exchange.toarray()
+        np.fill_diagonal(J, 0.0)
+        local = J @ signs
+        assert np.all(signs * (2 * local + h.field) <= 1e-12)
+
+
+def test_greedy_with_field():
+    h = random_ising(12, 5, seed=7, field=True)
+    e_exact, s_exact = brute_force_minimum(h)
+    x, e = greedy_solve(h)
+    assert e >= e_exact - 1e-12
+    signs = bits.bits_to_signs(x, h.size)
+    J = h.exchange.toarray()
+    np.fill_diagonal(J, 0.0)
+    assert np.all(signs * (2 * J @ signs + h.field) <= 1e-12)
+
+
+def test_estimate_betas_ordering():
+    h = random_ising(50, 6, seed=3)
+    b0, b1 = estimate_betas(h)
+    assert 0 < b0 < b1
+
+
+def test_anneal_finds_ground_state_tiny():
+    h = random_ising(14, 5, seed=11)
+    e_exact, _ = brute_force_minimum(h)
+    x, e = anneal(h, seed=42, number_sweeps=300, repetitions=32, only_best=True)
+    assert e == pytest.approx(e_exact, abs=1e-8)
+
+
+def test_anneal_energy_bookkeeping_consistent():
+    h = random_ising(60, 6, seed=5)
+    res = anneal(
+        h, seed=1, number_sweeps=100, repetitions=8, only_best=False
+    )
+    # reported energies must equal exact recomputation from the signs
+    for r in range(8):
+        signs = bits.bits_to_signs(res.bits_all[r], h.size)
+        assert h.energy(signs) == pytest.approx(res.energies_all[r], abs=1e-8)
+
+
+def test_anneal_trace_monotone_best():
+    h = random_ising(40, 5, seed=9)
+    res = anneal(
+        h, seed=1, number_sweeps=50, repetitions=4, only_best=False, track_trace=True
+    )
+    assert res.trace_best.shape == (50, 4)
+    # best-energy trace is non-increasing
+    assert np.all(np.diff(res.trace_best, axis=0) <= 1e-9)
+
+
+def test_anneal_with_x0():
+    h = random_ising(30, 4, seed=2)
+    x0 = bits.signs_to_bits(np.ones(30))
+    x, e = anneal(h, x0=x0, seed=3, number_sweeps=200, repetitions=8)
+    assert np.isfinite(e)
+
+
+def test_color_plan_covers_all_spins():
+    h = random_ising(100, 6, seed=4)
+    plan = make_color_plan(h, block_size=32)
+    touched = np.unique(plan.block_spins)
+    touched = touched[touched < 100]
+    assert len(touched) == 100
