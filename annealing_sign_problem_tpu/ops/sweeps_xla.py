@@ -107,24 +107,46 @@ def make_color_plan(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "track_trace"),
+    static_argnames=("num_spins", "num_sweeps", "track_trace", "dtype"),
 )
 def _anneal_kernel(
     block_spins: jax.Array,  # (NB, M) int32
     neighbours: jax.Array,  # (K+1, D) int32
     couplings: jax.Array,  # (K+1, D) f32
     field: jax.Array,  # (K+1,) f32
-    signs0: jax.Array,  # (K+1, R) f32, row K zero
-    E0: jax.Array,  # (R,) f64 exact initial energies (host-computed)
+    init_words: jax.Array,  # (W, R) uint32 packed initial signs
     betas: jax.Array,  # (T,) f32
     seed: jax.Array,  # () uint32
+    num_spins: int,
     num_sweeps: int,
     track_trace: bool,
+    dtype=jnp.float32,
 ):
     NB, M = block_spins.shape
-    Kp1, R = signs0.shape
+    W, R = init_words.shape
+    K = num_spins
+    Kp1 = K + 1
+
+    # unpack the (tiny) packed upload into the (K+1, R) working state
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    bits = ((init_words[:, None, :] >> shifts) & 1).reshape(W * 32, R)[:K]
+    signs0 = jnp.zeros((Kp1, R), dtype=dtype)
+    signs0 = signs0.at[:K].set((2 * bits.astype(jnp.int32) - 1).astype(dtype))
 
     base_key = jax.random.PRNGKey(seed)
+
+    # exact initial energies, computed on device block-by-block so the
+    # (block, degree, replica) working set stays bounded:
+    # E = sum_i s_i * (sum_j J_ij s_j + h_i) with both triangles stored.
+    def energy_block(E, b):
+        ids = block_spins[b]
+        nbr_ids = neighbours[ids].reshape(-1)
+        Sn = signs0[nbr_ids].reshape(M, -1, R)
+        local = jnp.einsum("mdr,md->mr", Sn, couplings[ids])
+        contrib = signs0[ids] * (local + field[ids][:, None])
+        return E + jnp.sum(contrib, axis=0, dtype=jnp.float64), None
+
+    E0, _ = jax.lax.scan(energy_block, jnp.zeros(R, dtype=jnp.float64), jnp.arange(NB))
 
     def block_step(carry, inputs):
         S, E = carry
@@ -162,20 +184,39 @@ def _anneal_kernel(
     (S, E, bestS, bestE), trace = jax.lax.scan(
         sweep, carry0, (betas, jnp.arange(num_sweeps))
     )
-    return S, E, bestS, bestE, trace
+
+    # pack signs to bit words on device: transfers back to the host shrink
+    # 32x (the tunnel to the TPU is the slow path, not the kernel)
+    def pack_bits(S):
+        K = Kp1 - 1
+        W = (K + 31) // 32
+        padded = jnp.zeros((W * 32, R), dtype=jnp.uint32)
+        padded = padded.at[:K].set((S[:K] > 0).astype(jnp.uint32))
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+        return jnp.sum(
+            padded.reshape(W, 32, R) << shifts, axis=1, dtype=jnp.uint32
+        )  # (W, R)
+
+    return pack_bits(S), E, pack_bits(bestS), bestE, trace
 
 
-def _initial_energies(plan: ColorPlan, x0_signs: np.ndarray) -> np.ndarray:
-    """Exact float64 initial energies E_r = s^T J s + h^T s on the host."""
-    R, K = x0_signs.shape
-    s = np.concatenate(
-        [x0_signs.astype(np.float64), np.zeros((R, 1))], axis=1
-    )  # sentinel column
-    nbr, w = plan.neighbours[:K], plan.couplings[:K]
-    local = np.zeros((R, K), dtype=np.float64)
-    for d in range(nbr.shape[1]):  # accumulate per slot to bound peak memory
-        local += w[:, d] * s[:, nbr[:, d]]
-    return np.einsum("rk,rk->r", s[:, :K], local) + s[:, :K] @ plan.field[:K]
+def _unpack_words(words: np.ndarray, K: int) -> np.ndarray:
+    """(W, R) uint32 words -> (R, K) ±1 float64 on the host."""
+    W, R = words.shape
+    bits = (
+        (words[:, None, :] >> np.arange(32, dtype=np.uint32)[None, :, None]) & 1
+    ).reshape(W * 32, R)[:K]
+    return (2.0 * bits.astype(np.float64) - 1.0).T
+
+
+def _pack_words_host(signs: np.ndarray) -> np.ndarray:
+    """(R, K) ±1 -> (W, R) uint32 packed words on the host (vectorised)."""
+    R, K = signs.shape
+    W = (K + 31) // 32
+    bits = np.zeros((W * 32, R), dtype=np.uint32)
+    bits[:K] = (signs.T > 0).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)[None, :, None]
+    return (bits.reshape(W, 32, R) << shifts).sum(axis=1, dtype=np.uint32)
 
 
 def run_annealing(
@@ -190,26 +231,27 @@ def run_annealing(
 
     Returns (final signs (R, K), final energies (R,), best signs (R, K),
     best energies (R,), optional (current, best) energy traces (T, R)).
+    All device traffic is bit-packed (W uint32 words per replica), so the
+    host<->device path moves K*R/32 words instead of K*R floats.
     """
     R, K = x0_signs.shape
     assert K == plan.num_spins
-    S0 = jnp.zeros((K + 1, R), dtype=dtype)
-    S0 = S0.at[:K].set(jnp.asarray(x0_signs.T, dtype=dtype))
 
-    S, E, bestS, bestE, trace = _anneal_kernel(
+    S_words, E, best_words, bestE, trace = _anneal_kernel(
         jnp.asarray(plan.block_spins),
         jnp.asarray(plan.neighbours),
         jnp.asarray(plan.couplings, dtype=dtype),
         jnp.asarray(plan.field, dtype=dtype),
-        S0,
-        jnp.asarray(_initial_energies(plan, x0_signs), dtype=jnp.float64),
+        jnp.asarray(_pack_words_host(x0_signs)),
         jnp.asarray(betas, dtype=jnp.float32),
         jnp.uint32(seed & 0xFFFFFFFF),
+        num_spins=K,
         num_sweeps=len(betas),
         track_trace=track_trace,
+        dtype=dtype,
     )
-    S = np.asarray(S)[:K].T
-    bestS = np.asarray(bestS)[:K].T
+    S = _unpack_words(np.asarray(S_words), K)
+    bestS = _unpack_words(np.asarray(best_words), K)
     E = np.asarray(E, dtype=np.float64)
     bestE = np.asarray(bestE, dtype=np.float64)
     if track_trace:
