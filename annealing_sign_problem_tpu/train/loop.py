@@ -1,0 +1,267 @@
+"""The SA <-> NN self-training loop.
+
+Re-design of the reference gen-2 pipeline (``find_ground_state``,
+train.py:461-555): amplitudes come from ED, phases from the sign network;
+Monte-Carlo-sampled spin subsets get their signs optimised by the TPU
+annealer on the auxiliary Ising model; the network is then trained
+supervised on those signs; repeat. Metrics are evaluated on the full
+Hilbert space (train.py:1216-1240).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .. import bits as _bits
+from ..amplitudes import ground_state_to_log_coeff_fn
+from ..ising import make_ising_model
+from ..operator import Operator
+from ..solvers import anneal
+from ..utils.log import logger
+from .supervised import SignModelState, forward_logits, tune_neural_network
+
+__all__ = [
+    "TrainingConfig",
+    "model_log_coeff_fn",
+    "optimize_sign_structure",
+    "tune_sign_structure",
+    "compute_metrics_on_full_space",
+    "find_ground_state",
+    "make_deterministic",
+]
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    """Hyperparameters of the outer loop (the reference's Config namedtuple,
+    train.py:334-350)."""
+
+    number_sa_sweeps: int = 10000
+    number_supervised_epochs: int = 300
+    number_monte_carlo_samples: int = 5000
+    number_outer_iterations: int = 4
+    train_batch_size: int = 256
+    sampled_power: float = 2.0
+    sa_repetitions: int = 64
+    output: Optional[str] = None
+    seed: int = 12345
+    scale_field: Optional[Sequence[Optional[float]]] = None  # per-iteration
+
+
+def make_deterministic(seed: Optional[int]) -> np.random.RandomState:
+    """Deterministic seeding (the reference's make_deterministic,
+    train.py:1206-1213; JAX is deterministic by construction, so only the
+    host RNG needs pinning)."""
+    if seed is None:
+        seed = 12345
+    rng = np.random.RandomState(seed)
+    return rng
+
+
+def model_log_coeff_fn(
+    amplitudes: np.ndarray,
+    state: SignModelState,
+    basis,
+    batch_size: int = 16384,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """log psi = log|psi_ED| + i*pi*argmax(net) — exact amplitudes, learned
+    phases (train.py:353-373)."""
+    log_amplitude = np.log(np.abs(np.asarray(amplitudes, dtype=np.float64)))
+
+    def log_coeff_fn(spins: np.ndarray) -> np.ndarray:
+        spins = _bits.spins_to_array(spins)
+        logits = forward_logits(state, spins, batch_size)
+        phases = np.pi * np.argmax(logits, axis=1)
+        a = log_amplitude[basis.index(spins)]
+        return a + 1j * phases
+
+    return log_coeff_fn
+
+
+def optimize_sign_structure(
+    spins: np.ndarray,
+    hamiltonian: Operator,
+    log_coeff_fn: Optional[Callable] = None,
+    ground_state: Optional[np.ndarray] = None,
+    number_sweeps: int = 10000,
+    repetitions: int = 64,
+    scale_field: Optional[float] = 0.0,
+    seed: Optional[int] = None,
+    cheat: bool = False,
+):
+    """Assign sign labels to a sampled spin set.
+
+    ``cheat=True`` reads exact signs from the ground state
+    (train.py:214-226); otherwise builds the Ising model with the current
+    log-coeff oracle and anneals it (train.py:227-268), applying a global
+    flip if the result anti-correlates with the initial signs.
+
+    Returns (unique spins, labels in {0: positive, 1: negative}, counts).
+    """
+    spins = _bits.spins_to_array(spins)
+    spins, counts = np.unique(spins, return_counts=True)
+
+    if cheat:
+        if ground_state is None:
+            raise ValueError("cheat=True requires the exact ground state")
+        indices = hamiltonian.basis.index(spins)
+        labels = (np.asarray(ground_state)[indices] < 0).astype(np.int64)
+        return spins, labels, counts
+
+    model = make_ising_model(
+        spins,
+        hamiltonian,
+        log_psi_fn=log_coeff_fn,
+        scale_field=0.0 if scale_field == 0.0 else (scale_field or 0.0),
+        external_field=scale_field is None,
+    )
+    x, _ = anneal(
+        model.ising_hamiltonian,
+        x0=model.initial_signs,
+        seed=seed,
+        number_sweeps=number_sweeps,
+        repetitions=repetitions,
+        only_best=True,
+    )
+    signs = _bits.bits_to_signs(x, model.size)
+    signs0 = _bits.bits_to_signs(model.initial_signs, model.size)
+    overlap = float(np.mean(signs == signs0))
+    logger.debug("Initial unweighted accuracy: {}", overlap)
+    if overlap < 0.5:
+        logger.warning("Applying global sign flip...")
+        signs = -signs
+    labels = (signs < 0).astype(np.int64)
+    # model.spins is the deduplicated sorted set == spins
+    return model.spins, labels, counts
+
+
+def tune_sign_structure(*args, **kwargs):
+    """Alias matching the reference's gen-2 name (train.py:275-331)."""
+    return optimize_sign_structure(*args, **kwargs)
+
+
+def compute_metrics_on_full_space(
+    basis,
+    ground_state: np.ndarray,
+    state: SignModelState,
+    batch_size: int = 16384,
+) -> Dict[str, float]:
+    """Unweighted accuracy + psi^2-weighted overlap of the network's signs
+    over the whole basis (train.py:1216-1240)."""
+    logits = forward_logits(state, basis.states, batch_size)
+    predicted = np.argmax(logits, axis=1)
+    correct = (np.asarray(ground_state) < 0).astype(np.int64)
+    mask = predicted == correct
+    accuracy = float(np.mean(mask))
+    weights = np.asarray(ground_state) ** 2
+    overlap = float(np.abs(np.dot(2.0 * mask - 1.0, weights / weights.sum())))
+    return {"accuracy": accuracy, "overlap": overlap}
+
+
+def find_ground_state(
+    hamiltonian: Operator,
+    ground_state: np.ndarray,
+    state: SignModelState,
+    config: TrainingConfig,
+    on_iteration_end=None,
+) -> SignModelState:
+    """The outer self-training loop (train.py:461-555).
+
+    Per iteration: sample spins ~ |psi|^p, optimise their signs with SA on
+    the Ising model built from (ED amplitudes x current network phases),
+    train the network on the resulting labels, checkpoint, re-evaluate
+    full-space metrics.
+    """
+    rng = make_deterministic(config.seed)
+    basis = hamiltonian.basis
+    amplitudes = np.abs(np.asarray(ground_state))
+    p = amplitudes ** config.sampled_power
+    p /= p.sum()
+
+    scale_field = config.scale_field
+    if scale_field is None:
+        # gen-2 default: zero fields first, boundary fields afterwards
+        # (train.py:503)
+        scale_field = [0.0] + [None] * config.number_outer_iterations
+
+    metrics = compute_metrics_on_full_space(basis, ground_state, state)
+    logger.info(
+        "Accuracy = {}, overlap = {}", metrics["accuracy"], metrics["overlap"]
+    )
+    history = [metrics]
+
+    for i in range(config.number_outer_iterations):
+        logger.info("Starting outer iteration {}...", i + 1)
+        batch_indices = rng.choice(
+            basis.number_states, size=config.number_monte_carlo_samples, replace=True, p=p
+        )
+        spins = basis.states[batch_indices]
+
+        log_fn = model_log_coeff_fn(amplitudes, state, basis)
+        spins_u, labels, counts = optimize_sign_structure(
+            spins,
+            hamiltonian,
+            log_coeff_fn=log_fn,
+            ground_state=ground_state,
+            number_sweeps=config.number_sa_sweeps,
+            repetitions=config.sa_repetitions,
+            scale_field=scale_field[i] if i < len(scale_field) else None,
+            seed=int(rng.randint(1 << 31)),
+        )
+
+        state = tune_neural_network(
+            state,
+            spins_u,
+            labels,
+            weights=None,
+            epochs=config.number_supervised_epochs,
+            batch_size=config.train_batch_size,
+            seed=int(rng.randint(1 << 31)),
+        )
+
+        if config.output is not None:
+            save_checkpoint(state, config.output, i + 1)
+        metrics = compute_metrics_on_full_space(basis, ground_state, state)
+        logger.info(
+            "Accuracy = {}, overlap = {}", metrics["accuracy"], metrics["overlap"]
+        )
+        history.append(metrics)
+        if on_iteration_end is not None:
+            on_iteration_end(i, state, metrics)
+
+    state.history = history
+    return state
+
+
+def save_checkpoint(state: SignModelState, output_dir: str, iteration: int) -> None:
+    """Checkpoint model params per outer iteration (the reference's
+    model_{i}.pt saves, train.py:549-551) using orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, f"model_{iteration}"))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    payload = {"params": state.params}
+    if state.batch_stats is not None:
+        payload["batch_stats"] = state.batch_stats
+    ckpt.save(path, payload, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint(state: SignModelState, output_dir: str, iteration: int) -> SignModelState:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, f"model_{iteration}"))
+    ckpt = ocp.StandardCheckpointer()
+    payload = {"params": state.params}
+    if state.batch_stats is not None:
+        payload["batch_stats"] = state.batch_stats
+    restored = ckpt.restore(path, payload)
+    state.params = restored["params"]
+    state.batch_stats = restored.get("batch_stats")
+    return state
