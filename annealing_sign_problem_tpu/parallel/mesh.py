@@ -1,0 +1,184 @@
+"""Mesh-parallel execution: SA replicas, data-parallel training, sharded ED.
+
+The reference's parallelism axes (SURVEY §2.4) map onto a
+``jax.sharding.Mesh`` as:
+
+- P1 replica parallelism (independent SA chains, ``repetitions=64..1024``)
+  -> the replica axis of the annealing kernel is sharded across chips; the
+  ``only_best`` reduction is an argmin over the global replica axis, which
+  GSPMD lowers to an ICI all-gather of (R,) energies — bytes, not states.
+- P3 OpenMP threads inside the ED engine -> the basis dimension of the
+  Lanczos matvec is sharded; neighbour gathers across shard boundaries
+  become XLA collectives automatically.
+- P4 SLURM job-level scatter over clusters -> :func:`distribute_clusters`,
+  a deterministic round-robin of cluster work items over hosts/slices with
+  per-item PRNG keys (replacing JOBID-suffixed CSV files).
+- P5 batched NN inference/training -> plain data parallelism over the
+  batch axis with psum-averaged gradients.
+
+Everything uses GSPMD (jit + NamedSharding) rather than manual
+collectives: the kernels are already batched, so sharding is an annotation,
+not a rewrite.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sweeps_xla import ColorPlan, _anneal_kernel, _pack_words_host, _unpack_words
+from ..utils.log import logger
+
+__all__ = [
+    "make_mesh",
+    "anneal_sharded",
+    "train_step_data_parallel",
+    "sharded_matvec_fn",
+    "distribute_clusters",
+]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "shards") -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def anneal_sharded(
+    plan: ColorPlan,
+    x0_signs: np.ndarray,  # (R, K) ±1, R divisible by mesh size
+    betas: np.ndarray,
+    seed: int,
+    mesh: Mesh,
+    dtype=jnp.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Replica-sharded annealing over a mesh; returns (best signs (R, K),
+    best energies (R,)).
+
+    The replica (lane) axis of every state array is sharded; the coupling
+    tables are replicated. No communication occurs during sweeps — replicas
+    are independent chains — so scaling over ICI is trivially linear; only
+    the final packed words come back.
+    """
+    axis = mesh.axis_names[0]
+    R, K = x0_signs.shape
+    n_dev = mesh.devices.size
+    if R % n_dev != 0:
+        raise ValueError(f"repetitions ({R}) must be divisible by mesh size ({n_dev})")
+
+    repl = NamedSharding(mesh, P())
+    lane_sharded = NamedSharding(mesh, P(None, axis))
+
+    kernel = jax.jit(
+        functools.partial(
+            _anneal_kernel,
+            num_spins=K,
+            num_sweeps=len(betas),
+            track_trace=False,
+            dtype=dtype,
+        ),
+        in_shardings=(repl, repl, repl, repl, lane_sharded, repl, repl),
+        out_shardings=(lane_sharded, NamedSharding(mesh, P(axis)),
+                       lane_sharded, NamedSharding(mesh, P(axis)), None),
+    )
+    S_words, E, best_words, bestE, _ = kernel(
+        jnp.asarray(plan.block_spins),
+        jnp.asarray(plan.neighbours),
+        jnp.asarray(plan.couplings, dtype=dtype),
+        jnp.asarray(plan.field, dtype=dtype),
+        jnp.asarray(_pack_words_host(x0_signs)),
+        jnp.asarray(betas, dtype=jnp.float32),
+        jnp.uint32(seed & 0xFFFFFFFF),
+    )
+    return _unpack_words(np.asarray(best_words), K), np.asarray(bestE)
+
+
+def train_step_data_parallel(state, spins, labels, weights, mesh: Mesh):
+    """One data-parallel supervised step: batch axis sharded over the mesh,
+    gradients averaged by GSPMD (psum over ICI). Returns (state, loss)."""
+    from ..train.supervised import _loss_fn
+
+    axis = mesh.axis_names[0]
+    batch_sharded = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    apply_fn, tx = state.apply_fn, state.tx
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, batch_sharded, batch_sharded, batch_sharded),
+        out_shardings=None,
+    )
+    def step(params, batch_stats, bspins, blabels, bw):
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            lambda p: _loss_fn(apply_fn, p, batch_stats, bspins, blabels, bw, True),
+            has_aux=True,
+        )(params)
+        return loss, grads, new_stats
+
+    loss, grads, new_stats = step(
+        state.params,
+        state.batch_stats,
+        jnp.asarray(np.asarray(spins, dtype=np.uint64)),
+        jnp.asarray(np.asarray(labels, dtype=np.int32)),
+        jnp.asarray(np.asarray(weights, dtype=np.float32)),
+    )
+    import optax
+
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    state.params = optax.apply_updates(state.params, updates)
+    state.batch_stats = new_stats
+    state.opt_state = new_opt
+    return state, float(loss)
+
+
+def sharded_matvec_fn(operator, mesh: Mesh, dtype=jnp.float32) -> Callable:
+    """H @ x with the basis dimension sharded over the mesh.
+
+    The ELL tables (K, W) are row-sharded; ``x`` is replicated so the
+    neighbour gather stays local (an all-gather of x per iteration — the
+    standard row-parallel SpMV layout). This is the matvec under the
+    mesh-parallel Lanczos that replaces SpinED's OpenMP scaling
+    (README.md:59)."""
+    axis = mesh.axis_names[0]
+    idx, coeffs = operator.build_ell(dtype=dtype)
+    K = idx.shape[0]
+    pad = (-K) % mesh.devices.size
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad, idx.shape[1]), idx.dtype)])
+        coeffs = jnp.concatenate([coeffs, jnp.zeros((pad, coeffs.shape[1]), coeffs.dtype)])
+    row_sharded = NamedSharding(mesh, P(axis, None))
+    idx = jax.device_put(idx, row_sharded)
+    coeffs = jax.device_put(coeffs, row_sharded)
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, out_shardings=repl)
+    def matvec(x):
+        y = jnp.sum(coeffs * x[idx], axis=1)
+        return y[:K] if pad else y
+
+    return matvec
+
+
+def distribute_clusters(
+    num_clusters: int,
+    seed: int,
+    num_workers: int,
+    worker_id: int,
+) -> List[Tuple[int, np.random.RandomState]]:
+    """Deterministic cluster work-item scatter (the reference's SLURM
+    JOBID-suffixed fan-out, Makefile:5,104-141): item i goes to worker
+    i % num_workers with an item-specific RNG, so any subset of workers can
+    run/crash/retry independently and results are append-only."""
+    items = []
+    for i in range(num_clusters):
+        if i % num_workers == worker_id:
+            items.append((i, np.random.RandomState((seed * 1_000_003 + i) % (2**31))))
+    return items
