@@ -1,0 +1,143 @@
+"""Small-system SA benchmark (`make small`, Figure 2).
+
+For each sweep count in the schedule, run ``--repetitions`` independent
+annealing replicas on the full-Hilbert-space Ising model, ``--trials``
+times, and record the distribution of three convergence probabilities
+(accuracy > 0.995, overlap > 0.995, relative residual energy <= 1e-12).
+CSV schema identical to the reference benchmark
+(full_hilbert_space.py:319-338, experiments/heisenberg_kagome_16.csv).
+
+On TPU all replicas of a trial run as one kernel launch; the reference
+needed a 128-core SLURM node for the same statistics
+(slurm-small.sh:2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ..amplitudes import determine_exact_solution, ground_state_to_log_coeff_fn
+from ..ising import make_ising_model
+from ..metrics import compute_accuracy_and_overlap
+from ..ops.sweeps_xla import make_color_plan
+from ..solvers import anneal
+from ..utils.log import logger
+from ..utils.output import refuse_to_overwrite
+from .common import add_system_arguments, load_system, resolve_ground_state
+
+ACCURACY_THRESHOLD = 0.995
+OVERLAP_THRESHOLD = 0.995
+RESIDUAL_THRESHOLD = 1e-12
+
+CSV_COLUMNS = [
+    "number_sweeps",
+    "acc_prob_mean", "acc_prob_std", "acc_prob_median", "acc_prob_min", "acc_prob_max",
+    "overlap_prob_mean", "overlap_prob_std", "overlap_prob_median",
+    "overlap_prob_min", "overlap_prob_max",
+    "residual_prob_mean", "residual_prob_std", "residual_prob_median",
+    "residual_prob_min", "residual_prob_max",
+]
+
+
+def parse_command_line(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Test Simulated Annealing on a small system (TPU replica-parallel)."
+    )
+    add_system_arguments(parser)
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument(
+        "--number-sweeps", type=str, required=True, help="comma-separated schedule"
+    )
+    parser.add_argument("--repetitions", type=int, default=1024)
+    parser.add_argument("--trials", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=12345)
+    return parser.parse_args(argv)
+
+
+def analyze_trial(result, exact_bits, weights, energy):
+    """Per-replica (accuracy, overlap, residual) -> the three probabilities
+    (the thresholds of full_hilbert_space.py:164-186)."""
+    R = result.bits_all.shape[0]
+    metrics = np.zeros((R, 3))
+    for r in range(R):
+        acc, ov = compute_accuracy_and_overlap(result.bits_all[r], exact_bits, weights)
+        err = abs((result.energies_all[r] - energy) / energy)
+        metrics[r] = [acc, ov, err]
+    return (
+        float(np.mean(metrics[:, 0] > ACCURACY_THRESHOLD)),
+        float(np.mean(metrics[:, 1] > OVERLAP_THRESHOLD)),
+        float(np.mean(metrics[:, 2] <= RESIDUAL_THRESHOLD)),
+    )
+
+
+def main(argv=None):
+    args = parse_command_line(argv)
+    if refuse_to_overwrite(args.output):
+        return 1
+
+    op, name = load_system(args)
+    psi, _ = resolve_ground_state(op, name, args.hdf5)
+    psi = psi / np.linalg.norm(psi)
+    energy_quantum = op.expectation(psi)
+
+    log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
+    model = make_ising_model(op.basis.states, op, log_psi_fn=log_fn)
+    plan = make_color_plan(model.ising_hamiltonian)
+    exact_bits = determine_exact_solution(op.basis.states, op, psi)
+    weights = psi**2
+    # the Ising ground-state energy equals the quantum energy at exact signs
+    energy = model.ising_hamiltonian.energy(exact_bits)
+    logger.info("E(exact signs) = {} (quantum: {})", energy, energy_quantum)
+
+    sweeps = list(map(int, args.number_sweeps.split(",")))
+    rng = np.random.RandomState(args.seed)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    with open(args.output, "w") as f:
+        f.write(",".join(CSV_COLUMNS) + "\n")
+
+    for number_sweeps in sweeps:
+        results = np.zeros((args.trials, 3))
+        for trial in range(args.trials):
+            logger.info(
+                "[{}/{}] Running Simulated Annealing for {} sweeps...",
+                trial + 1,
+                args.trials,
+                number_sweeps,
+            )
+            res = anneal(
+                model.ising_hamiltonian,
+                seed=int(rng.randint(1 << 31)),
+                number_sweeps=number_sweeps,
+                repetitions=args.repetitions,
+                only_best=False,
+                plan=plan,
+            )
+            results[trial] = analyze_trial(res, exact_bits, weights, energy)
+            logger.info(
+                "P(acc) = {:.4f}, P(overlap) = {:.4f}, P(residual) = {:.4f} "
+                "({:.3g} flips/s)",
+                *results[trial],
+                res.flips_per_second,
+            )
+
+        row = [number_sweeps]
+        for col in range(3):
+            row += [
+                np.mean(results[:, col]),
+                np.std(results[:, col]),
+                np.median(results[:, col]),
+                np.min(results[:, col]),
+                np.max(results[:, col]),
+            ]
+        with open(args.output, "a") as f:
+            f.write(",".join(map(str, row)) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
