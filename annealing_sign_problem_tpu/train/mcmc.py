@@ -1,0 +1,171 @@
+"""Markov-chain Monte-Carlo samplers and the local-energy estimator.
+
+TPU-native replacement for the ``nqs_playground`` sampling surface used by
+the reference (SURVEY §2.3: ``nqs.sample_some`` with mode='zanella'
+astrakhantsev_2021.py:319-331, ``local_values`` :337-338). Both samplers
+run as jitted ``lax.scan`` chains vmapped over walkers:
+
+- :func:`metropolis_sample` — random two-site exchange proposals (hamming-
+  weight preserving) with Metropolis acceptance on |psi|^2.
+- :func:`zanella_sample` — the locally-balanced (Zanella) process the
+  reference uses for its pyrochlore baseline: each step evaluates psi on
+  the whole exchange neighbourhood, jumps with probability proportional to
+  g(psi'^2/psi^2), g = sqrt, and weights samples by the inverse escape
+  rate (continuous-time importance weights).
+
+The amplitude oracle is a *device* function ``log_amp_fn(spins) ->
+log|psi|`` — a sorted-table lookup for ED states or a network forward for
+NQS (see :func:`table_log_amplitude_fn`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..operator import Operator
+
+__all__ = [
+    "table_log_amplitude_fn",
+    "exchange_moves",
+    "metropolis_sample",
+    "zanella_sample",
+    "local_energy",
+]
+
+
+def table_log_amplitude_fn(states: jax.Array, log_amplitudes: jax.Array):
+    """Device amplitude oracle backed by a sorted state table (ED vector)."""
+    def fn(spins: jax.Array) -> jax.Array:
+        idx = jnp.clip(jnp.searchsorted(states, spins), 0, states.shape[0] - 1)
+        return jnp.where(
+            states[idx] == spins, log_amplitudes[idx], -jnp.inf
+        )
+    return fn
+
+
+def exchange_moves(number_spins: int) -> np.ndarray:
+    """All site pairs (i, j), i<j — the hamming-preserving move set."""
+    pairs = [(i, j) for i in range(number_spins) for j in range(i + 1, number_spins)]
+    return np.asarray(pairs, dtype=np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("log_amp_fn", "number_spins", "num_samples", "sweep_size")
+)
+def metropolis_sample(
+    log_amp_fn: Callable,
+    x0: jax.Array,  # (C,) uint64 initial states per chain
+    key: jax.Array,
+    number_spins: int,
+    num_samples: int,
+    sweep_size: int = 1,
+):
+    """Metropolis sampling from |psi|^2 with exchange proposals.
+
+    Returns (samples (num_samples, C) uint64, acceptance rate).
+    """
+    C = x0.shape[0]
+    n = number_spins
+
+    def propose(state, k):
+        k1, k2 = jax.random.split(k)
+        # random up-site and down-site per chain: pick two random positions
+        # and swap their bits (no-op when equal — rejected by symmetry)
+        i = jax.random.randint(k1, (C,), 0, n, dtype=jnp.uint64)
+        j = jax.random.randint(k2, (C,), 0, n, dtype=jnp.uint64)
+        bi = (state >> i) & jnp.uint64(1)
+        bj = (state >> j) & jnp.uint64(1)
+        differ = bi != bj
+        mask = (jnp.uint64(1) << i) | (jnp.uint64(1) << j)
+        return jnp.where(differ, state ^ mask, state)
+
+    def step(carry, k):
+        state, log_a, accepted = carry
+        k_prop, k_acc = jax.random.split(k)
+        proposal = propose(state, k_prop)
+        log_a_new = log_amp_fn(proposal)
+        ratio = jnp.exp(2.0 * (log_a_new - log_a))
+        u = jax.random.uniform(k_acc, (C,))
+        accept = (u < ratio) & (proposal != state)
+        state = jnp.where(accept, proposal, state)
+        log_a = jnp.where(accept, log_a_new, log_a)
+        return (state, log_a, accepted + accept.sum()), state
+
+    keys = jax.random.split(key, num_samples * sweep_size)
+    (state, _, accepted), trajectory = jax.lax.scan(
+        step, (x0, log_amp_fn(x0), jnp.zeros((), jnp.int64)), keys
+    )
+    samples = trajectory[sweep_size - 1 :: sweep_size]
+    acceptance = accepted / (num_samples * sweep_size * C)
+    return samples, acceptance
+
+
+@functools.partial(
+    jax.jit, static_argnames=("log_amp_fn", "number_spins", "num_samples")
+)
+def zanella_sample(
+    log_amp_fn: Callable,
+    x0: jax.Array,  # (C,) uint64
+    key: jax.Array,
+    number_spins: int,
+    num_samples: int,
+):
+    """Locally-balanced (Zanella) sampling from |psi|^2.
+
+    Every step evaluates |psi| on the full exchange neighbourhood of each
+    chain, jumps to neighbour x' with rate lambda = g(|psi'|^2/|psi|^2),
+    g = sqrt, and records the continuous-time weight 1/sum(lambda).
+
+    Returns (samples (num_samples, C) uint64, weights (num_samples, C)).
+    """
+    C = x0.shape[0]
+    moves = jnp.asarray(exchange_moves(number_spins))  # (P, 2)
+    P = moves.shape[0]
+    mi = moves[:, 0].astype(jnp.uint64)
+    mj = moves[:, 1].astype(jnp.uint64)
+    flip = (jnp.uint64(1) << mi) | (jnp.uint64(1) << mj)
+
+    def neighbours(state):  # (C,) -> (C, P) uint64, mask
+        bi = (state[:, None] >> mi) & jnp.uint64(1)
+        bj = (state[:, None] >> mj) & jnp.uint64(1)
+        valid = bi != bj
+        return jnp.where(valid, state[:, None] ^ flip, state[:, None]), valid
+
+    def step(carry, k):
+        state, log_a = carry
+        nbrs, valid = neighbours(state)
+        log_nbrs = log_amp_fn(nbrs.reshape(-1)).reshape(C, P)
+        # g = sqrt: lambda = exp(log|psi'| - log|psi|)
+        lam = jnp.where(valid, jnp.exp(log_nbrs - log_a[:, None]), 0.0)
+        total = lam.sum(axis=1)
+        weight = 1.0 / jnp.maximum(total, 1e-30)
+        choice = jax.random.categorical(k, jnp.log(jnp.maximum(lam, 1e-30)), axis=1)
+        new_state = jnp.take_along_axis(nbrs, choice[:, None], axis=1)[:, 0]
+        new_log_a = jnp.take_along_axis(log_nbrs, choice[:, None], axis=1)[:, 0]
+        return (new_state, new_log_a), (state, weight)
+
+    keys = jax.random.split(key, num_samples)
+    _, (samples, weights) = jax.lax.scan(step, (x0, log_amp_fn(x0)), keys)
+    return samples, weights
+
+
+def local_energy(
+    operator: Operator,
+    log_psi_fn: Callable,  # device: (spins,) uint64 -> complex log psi
+    spins: jax.Array,
+) -> jax.Array:
+    """E_loc(s) = sum_{s'} <s|H|s'> psi(s')/psi(s), vectorised over the
+    padded neighbourhood (the estimator of
+    sampled_connected_components.py:294-321 / astrakhantsev local values).
+    """
+    spins = jnp.asarray(spins, dtype=jnp.uint64)
+    nbrs, coeffs = operator.apply_padded(spins)
+    log0 = log_psi_fn(spins)
+    logn = log_psi_fn(nbrs.reshape(-1)).reshape(nbrs.shape)
+    ratio = jnp.exp(logn - log0[:, None])
+    return jnp.sum(jnp.where(coeffs != 0.0, coeffs * ratio, 0.0), axis=1)
