@@ -282,6 +282,53 @@ def make_hamiltonian_extension(
     return make_ising_model(spins, model.quantum_hamiltonian, log_psi_fn=log_psi_fn)
 
 
+def get_strongest_off_diag(matrix: scipy.sparse.spmatrix) -> np.ndarray:
+    """Per-row maximum |off-diagonal coupling| (common.py:525-541),
+    vectorised instead of the reference's numba row loop."""
+    coo = matrix.tocoo()
+    off = coo.row != coo.col
+    out = np.zeros(matrix.shape[0], dtype=np.float64)
+    np.maximum.at(out, coo.row[off], np.abs(coo.data[off]))
+    return out
+
+
+def make_hamiltonian_extension_reltol(
+    model: IsingModel,
+    log_psi_fn: Callable[[np.ndarray], np.ndarray],
+    reltol: float = 1e-2,
+) -> np.ndarray:
+    """Selective one-hop extension: include a generated state s' only when
+    its relative coupling |c| |psi_s| |psi_s'| / strongest(s) exceeds
+    ``reltol`` (the gen-1 inclusion-mask extension,
+    sampled_connected_components.py:449-484). Returns the extended spin
+    set."""
+    spins = model.spins
+    nbrs, coeffs = model.quantum_hamiltonian.apply_padded(jnp.asarray(spins))
+    nbrs = np.asarray(nbrs)[:, 1:]
+    coeffs = np.asarray(coeffs)[:, 1:]
+
+    log_psi = np.asarray(log_psi_fn(spins))
+    log_psi_ext = np.asarray(log_psi_fn(nbrs.reshape(-1))).reshape(nbrs.shape)
+    strongest = np.log(
+        np.maximum(get_strongest_off_diag(model.ising_hamiltonian.exchange), 1e-300)
+    )
+    with np.errstate(divide="ignore"):
+        log_couplings = (
+            np.log(np.abs(coeffs))
+            + log_psi_ext.real
+            + log_psi.real[:, None]
+            - strongest[:, None]
+        )
+    mask = (coeffs != 0.0) & (log_couplings >= np.log(reltol))
+    extended = np.union1d(spins, nbrs[mask])
+    logger.debug(
+        "{:.1f}% included; there are now {} spins in the cluster",
+        100.0 * mask.sum() / max(mask.size, 1),
+        len(extended),
+    )
+    return extended
+
+
 def binary_search(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
     """Exact sorted lookup (common.py:544-548)."""
     indices = np.searchsorted(haystack, needles)

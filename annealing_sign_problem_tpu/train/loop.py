@@ -238,6 +238,33 @@ def find_ground_state(
     return state
 
 
+def cached_sa_dataset(cache_path: str, builder):
+    """Build-or-load an (spins, labels, counts) supervised dataset.
+
+    SA-produced training sets are expensive; like the reference's
+    ``training_dataset.h5`` reuse (train.py:577-626), the dataset is built
+    once by ``builder()`` and then read from disk on subsequent runs.
+    """
+    import h5py
+
+    if os.path.exists(cache_path):
+        logger.info("Reusing cached training dataset {}", cache_path)
+        with h5py.File(cache_path, "r") as f:
+            return (
+                np.asarray(f["spins"], dtype=np.uint64),
+                np.asarray(f["labels"], dtype=np.int64),
+                np.asarray(f["counts"], dtype=np.int64),
+            )
+    spins, labels, counts = builder()
+    os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+    with h5py.File(cache_path, "w") as f:
+        f["spins"] = np.asarray(spins, dtype=np.uint64)
+        f["labels"] = np.asarray(labels, dtype=np.int64)
+        f["counts"] = np.asarray(counts, dtype=np.int64)
+    logger.info("Cached training dataset to {}", cache_path)
+    return spins, labels, counts
+
+
 def save_checkpoint(state: SignModelState, output_dir: str, iteration: int) -> None:
     """Checkpoint model params per outer iteration (the reference's
     model_{i}.pt saves, train.py:549-551) using orbax."""
