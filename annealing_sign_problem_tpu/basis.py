@@ -182,6 +182,20 @@ class SpinBasis:
             return np.uint64(0xFFFFFFFFFFFFFFFF)
         return np.uint64((1 << n) - 1)
 
+    def _inversion_character(self) -> float:
+        """Character carried by one application of spin inversion.
+
+        The inversion is the π spin rotation exp(iπS^y) = Π_j (iσ^y_j),
+        whose action on a basis state is (-1)^{n_up} x bit-flip — at fixed
+        hamming weight k a constant (-1)^k relative to the plain bit-flip.
+        This matches the lattice_symmetries convention used by the
+        reference data files (spin_inversion: 1 selects the sector that
+        contains the singlet ground state for both even and odd n/2, e.g.
+        heisenberg_kagome_18.yaml:4 with k = 9).
+        """
+        k = self.hamming_weight if self.hamming_weight is not None else 0
+        return float(self.spin_inversion) * ((-1.0) ** k)
+
     def _orbit_images(self, states: np.ndarray):
         """All group images of each state: (G, N) uint64 plus characters (G,)."""
         n = self.number_spins
@@ -192,7 +206,7 @@ class SpinBasis:
         if self.spin_inversion is not None:
             inv = imgs ^ self._full_mask()
             imgs = np.concatenate([imgs, inv], axis=0)
-            chars = np.concatenate([chars, float(self.spin_inversion) * chars])
+            chars = np.concatenate([chars, self._inversion_character() * chars])
         return imgs, chars
 
     # -- construction ----------------------------------------------------------
@@ -336,7 +350,7 @@ class SpinBasis:
         if self.spin_inversion is not None:
             inv = imgs ^ self._full_mask()
             imgs = jnp.concatenate([imgs, inv], axis=-1)
-            chars = jnp.concatenate([chars, float(self.spin_inversion) * chars])
+            chars = jnp.concatenate([chars, self._inversion_character() * chars])
         which = jnp.argmin(imgs, axis=-1)
         rep = jnp.min(imgs, axis=-1)
         return rep, chars[which]
