@@ -333,20 +333,48 @@ class SpinBasis:
         chi = chars[which]
         return rep, chi
 
+    def _part_tables(self):
+        """Bit-permutation matmul tables: the group image of a state is
+        img_g = sum_i bit_i * 2^{perm_g(i)}, evaluated exactly in f32 by
+        splitting the 2^{p} weights into <=16-bit parts — each partial sum
+        stays below 2^16 * n < 2^24, so plain MXU matmuls compute exact
+        integer images. Returns (parts (n_parts, n, G) f32, part_shifts)."""
+        if getattr(self, "_part_table_cache", None) is not None:
+            return self._part_table_cache
+        n = self.number_spins
+        perms = self._perms  # (G, n)
+        n_parts = (n + 15) // 16
+        tables = np.zeros((n_parts, n, perms.shape[0]), dtype=np.float32)
+        for p in range(n_parts):
+            lo, hi = 16 * p, min(16 * (p + 1), n)
+            sel = (perms >= lo) & (perms < hi)
+            weights = np.where(sel, 2.0 ** (perms - lo), 0.0)
+            tables[p] = weights.T.astype(np.float32)
+        shifts = np.arange(n_parts, dtype=np.uint64) * np.uint64(16)
+        self._part_table_cache = (tables, shifts)
+        return tables, shifts
+
+    def _perm_images_device(self, spins: jax.Array) -> jax.Array:
+        """(..., G) uint64 permutation-group images via MXU matmuls."""
+        n = self.number_spins
+        tables, part_shifts = self._part_tables()
+        shifts = jnp.arange(n, dtype=jnp.uint64)
+        bit = ((spins[..., None] >> shifts) & jnp.uint64(1)).astype(jnp.float32)
+        imgs = jnp.zeros(spins.shape + (self._perms.shape[0],), dtype=jnp.uint64)
+        for p in range(tables.shape[0]):
+            part = jnp.dot(
+                bit, jnp.asarray(tables[p]), preferred_element_type=jnp.float32
+            )
+            imgs = imgs | (part.astype(jnp.uint64) << part_shifts[p])
+        return imgs
+
     def state_info_device(self, spins: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """Jittable version of :meth:`state_info`."""
+        """Jittable version of :meth:`state_info` (matmul-based orbit
+        minimisation; exact)."""
         if not self.has_symmetries:
             return spins, jnp.ones(spins.shape, dtype=jnp.float64)
-        n = self.number_spins
         chars = jnp.asarray(self._chars)
-        shifts = jnp.arange(n, dtype=jnp.uint64)
-        bit = ((spins[..., None] >> shifts) & jnp.uint64(1)).astype(jnp.uint64)  # (..., n)
-        # site i moves to perms[g, i]: imgs[..., g] = sum_i bit_i << perm_g(i).
-        # The shift table is static, so this is a single uint64 contraction.
-        shift_table = jnp.asarray(
-            (np.uint64(1) << self._perms.astype(np.uint64)), dtype=jnp.uint64
-        )  # (G, n)
-        imgs = jnp.sum(bit[..., None, :] * shift_table, axis=-1)  # (..., G)
+        imgs = self._perm_images_device(spins)
         if self.spin_inversion is not None:
             inv = imgs ^ self._full_mask()
             imgs = jnp.concatenate([imgs, inv], axis=-1)
@@ -354,6 +382,26 @@ class SpinBasis:
         which = jnp.argmin(imgs, axis=-1)
         rep = jnp.min(imgs, axis=-1)
         return rep, chars[which]
+
+    def orbit_info_device(self, spins: jax.Array):
+        """(representative, is_representative, stabiliser character sum) for
+        a batch — the device primitive behind large-scale representative
+        enumeration (scale.py)."""
+        if not self.has_symmetries:
+            ones = jnp.ones(spins.shape, dtype=jnp.float64)
+            return spins, jnp.ones(spins.shape, dtype=bool), ones
+        chars = jnp.asarray(self._chars)
+        imgs = self._perm_images_device(spins)
+        if self.spin_inversion is not None:
+            inv = imgs ^ self._full_mask()
+            imgs = jnp.concatenate([imgs, inv], axis=-1)
+            chars = jnp.concatenate([chars, self._inversion_character() * chars])
+        rep = jnp.min(imgs, axis=-1)
+        is_rep = rep == spins
+        stab = jnp.sum(
+            jnp.where(imgs == spins[..., None], chars, 0.0), axis=-1
+        )
+        return rep, is_rep, stab
 
     def __repr__(self) -> str:
         built = self._states is not None

@@ -80,9 +80,20 @@ def resolve_ground_state(
         logger.info("Ground state energy is {}", energy)
         return psi, energy
 
-    op.basis.build()
     t0 = time.time()
-    energy, psi = ed.ground_state(op, num_iter=num_iter, seed=0)
+    # large symmetric sectors (pyrochlore-32, kagome-36) take the
+    # TPU-native enumeration + streaming-Lanczos path
+    from scipy.special import comb
+
+    sector = comb(op.basis.number_spins, op.basis.hamming_weight or 0, exact=True)
+    if op.basis.has_symmetries and sector > (1 << 24):
+        from .. import scale
+
+        scale.build_basis_at_scale(op.basis, hi_batch=16)
+        energy, psi = scale.ground_state_large(op, num_iter=num_iter // 2 or 32)
+    else:
+        op.basis.build()
+        energy, psi = ed.ground_state(op, num_iter=num_iter, seed=0)
     logger.info(
         "Ground state energy is {} (diagonalised in {:.1f}s, dim {})",
         energy,
