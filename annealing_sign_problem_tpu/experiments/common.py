@@ -31,7 +31,13 @@ from ..utils.log import logger
 __all__ = ["add_system_arguments", "load_system", "resolve_ground_state"]
 
 _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-DEFAULT_CACHE_DIR = os.path.join(_REPO_ROOT, "physical_systems", "data-small")
+
+
+def default_cache_dir() -> str:
+    return os.environ.get(
+        "ASP_TPU_CACHE_DIR",
+        os.path.join(_REPO_ROOT, "physical_systems", "data-small"),
+    )
 
 
 def add_system_arguments(parser: argparse.ArgumentParser) -> None:
@@ -67,7 +73,7 @@ def resolve_ground_state(
     (common.py:791-803) or from enumeration when computing.
     """
     if hdf5 is None:
-        cache_dir = cache_dir or DEFAULT_CACHE_DIR
+        cache_dir = cache_dir or default_cache_dir()
         candidate = os.path.join(cache_dir, f"{name}.h5")
         hdf5 = candidate if os.path.exists(candidate) else None
         cache_to = candidate

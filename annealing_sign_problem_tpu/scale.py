@@ -141,9 +141,10 @@ def ground_state_large(
     num_iter: int = 48,
     restarts: int = 8,
     tol: float = 1e-9,
-    chunk_size: int = 1 << 17,
+    chunk_size: Optional[int] = None,
     dtype=jnp.float32,
     seed: int = 0,
+    image_buffer_bytes: int = 1 << 30,
 ) -> Tuple[float, np.ndarray]:
     """Restarted Lanczos with an on-the-fly symmetrised matvec.
 
@@ -155,6 +156,14 @@ def ground_state_large(
 
     basis = operator.basis
     K = basis.number_states
+    if chunk_size is None:
+        # bound the per-chunk orbit-image working set: each state expands
+        # to (P+1) neighbours x 2G images (uint64) plus f32 matmul parts
+        G2 = 2 * basis._perms.shape[0] * (2 if basis.spin_inversion else 1)
+        per_state = max((operator.max_neighbours) * G2 * 12, 1)
+        chunk_size = 1 << max(10, int(np.log2(max(image_buffer_bytes // per_state, 1))))
+        chunk_size = min(chunk_size, 1 << 17)
+        logger.debug("ground_state_large: chunk_size = {}", chunk_size)
     pad = (-K) % chunk_size
     states_p = np.concatenate([basis.states, np.zeros(pad, dtype=np.uint64)])
     norms_p = np.concatenate([np.sqrt(basis.norms), np.ones(pad)])

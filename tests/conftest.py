@@ -22,8 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import tempfile
+
 import numpy as np
 import pytest
+
+# keep test-generated ED caches out of the repo tree
+os.environ.setdefault("ASP_TPU_CACHE_DIR", tempfile.mkdtemp(prefix="asp_tpu_cache_"))
 
 
 @pytest.fixture(scope="session")
