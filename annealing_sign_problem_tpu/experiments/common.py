@@ -95,7 +95,8 @@ def resolve_ground_state(
     if op.basis.has_symmetries and sector > (1 << 24):
         from .. import scale
 
-        scale.build_basis_at_scale(op.basis, hi_batch=16)
+        rep_cache = os.path.join(cache_dir or default_cache_dir(), f"{name}_basis.npz")
+        scale.build_basis_at_scale(op.basis, cache_path=rep_cache, hi_batch=16)
         energy, psi = scale.ground_state_large(op, num_iter=num_iter // 2 or 32)
     else:
         op.basis.build()

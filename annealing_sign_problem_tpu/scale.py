@@ -123,11 +123,28 @@ def enumerate_representatives(
     return reps[order], stabs[order].astype(np.float64)
 
 
-def build_basis_at_scale(basis: SpinBasis, **kwargs) -> SpinBasis:
-    """Build a symmetric basis by device enumeration (norms included)."""
+def build_basis_at_scale(
+    basis: SpinBasis, cache_path: Optional[str] = None, **kwargs
+) -> SpinBasis:
+    """Build a symmetric basis by device enumeration (norms included).
+
+    ``cache_path`` (an .npz file) persists the representative list — it is
+    the expensive artifact of the whole pipeline, like the reference's
+    downloaded basis files (README.md:62-90)."""
+    import os
+
+    if cache_path is not None and os.path.exists(cache_path):
+        data = np.load(cache_path)
+        logger.info("loaded {} representatives from {}", len(data["reps"]), cache_path)
+        basis.build(representatives=data["reps"])
+        basis._norms = data["norms"]
+        return basis
     reps, stabs = enumerate_representatives(basis, **kwargs)
     basis.build(representatives=reps)
     basis._norms = stabs
+    if cache_path is not None:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        np.savez_compressed(cache_path, reps=reps, norms=stabs)
     return basis
 
 
@@ -174,47 +191,36 @@ def ground_state_large(
     norms_dev = jnp.asarray(np.sqrt(basis.norms), dtype=jnp.float32)
     m = min(num_iter, K)
 
+    def matvec(x):
+        def chunk_body(_, c):
+            chunk_states = d_chunks[c]
+            chunk_norm = d_norms[c]
+            nbrs, coeffs = operator.apply_padded(chunk_states)
+            idx = jnp.clip(jnp.searchsorted(states_dev, nbrs), 0, K - 1)
+            member = states_dev[idx] == nbrs
+            factor = jnp.where(member, norms_dev[idx], 0.0) / chunk_norm[:, None]
+            vals = coeffs.astype(dtype) * factor.astype(dtype)
+            return None, jnp.sum(vals * x[idx], axis=1)
+
+        _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
+        return parts.reshape(-1)[:K]
+
+    # one dispatch per Lanczos iteration: the device holds V; the host only
+    # sees (alpha, beta) scalars. Keeping dispatches at seconds granularity
+    # also stays clear of runtime watchdogs on very long single executions.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def lanczos_pass(v0: jax.Array):
-        """One full m-step Lanczos with reorthogonalisation; a single
-        device dispatch per restart (the host<->device link is slow, the
-        device is not)."""
+    def lanczos_step(V, v, j):
+        w = matvec(v)
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v
+        for _ in range(2):
+            w = w - V.T @ (V @ w)
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.where(beta > 0, beta, 1.0)
+        V = V.at[j].set(v)
+        return V, v_next, alpha, beta
 
-        def matvec(x):
-            def chunk_body(_, c):
-                chunk_states = d_chunks[c]
-                chunk_norm = d_norms[c]
-                nbrs, coeffs = operator.apply_padded(chunk_states)
-                idx = jnp.clip(
-                    jnp.searchsorted(states_dev, nbrs), 0, K - 1
-                )
-                member = states_dev[idx] == nbrs
-                factor = jnp.where(member, norms_dev[idx], 0.0) / chunk_norm[:, None]
-                vals = coeffs.astype(dtype) * factor.astype(dtype)
-                return None, jnp.sum(vals * x[idx], axis=1)
-
-            _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
-            return parts.reshape(-1)[:K]
-
-        def body(carry, j):
-            V, v, _ = carry
-            w = matvec(v)
-            alpha = jnp.vdot(v, w)
-            w = w - alpha * v
-            for _ in range(2):
-                w = w - V.T @ (V @ w)
-            beta = jnp.linalg.norm(w)
-            v_next = w / jnp.where(beta > 0, beta, 1.0)
-            V = V.at[j].set(v)
-            return (V, v_next, beta), (alpha, beta)
-
-        V0 = jnp.zeros((m, K), dtype=dtype)
-        (V, _, _), (alphas, betas) = jax.lax.scan(
-            body, (V0, v0, jnp.zeros((), dtype)), jnp.arange(m)
-        )
-        return V, alphas, betas
-
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def ritz_vector(V, s):
         x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
         return x / jnp.linalg.norm(x)
@@ -227,15 +233,17 @@ def ground_state_large(
     theta, x = np.inf, None
     for r in range(restarts):
         t0 = time.time()
-        V, alphas, betas = lanczos_pass(v)
-        a = np.asarray(alphas, dtype=np.float64)
-        b = np.asarray(betas, dtype=np.float64)[:-1]
+        V = jnp.zeros((m, K), dtype=dtype)
+        alphas = np.zeros(m)
+        betas = np.zeros(m)
+        for j in range(m):
+            V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j))
+            alphas[j], betas[j] = float(a_j), float(b_j)
         evals, evecs = scipy.linalg.eigh_tridiagonal(
-            a, b, select="i", select_range=(0, 0)
+            alphas, betas[:-1], select="i", select_range=(0, 0)
         )
         theta_new = float(evals[0])
         x = ritz_vector(V, evecs[:, 0])
-        del V
         logger.info(
             "Lanczos restart {}: E = {:.12f} ({:.0f}s)", r, theta_new, time.time() - t0
         )
