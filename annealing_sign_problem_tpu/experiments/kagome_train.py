@@ -1,0 +1,123 @@
+"""Kagome sign-network training entry points.
+
+The reference's kagome_12_supervised / kagome_36_supervised /
+kagome_36_annealing drivers (train.py:1405-1717): train a
+lattice-convolution sign network on a kagome cluster, either supervised on
+exact signs ('cheat' labels) or through the full SA <-> NN self-training
+loop (sampled_power=1.5, 100k samples, 2 outer iterations for the
+36-site run — train.py:1626,1639,1675). Falls back to a dense network for
+systems without a lattice-convolution adjacency table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..models import DenseSignModel, KagomeSignNetwork
+from ..train import (
+    TrainingConfig,
+    compute_metrics_on_full_space,
+    find_ground_state,
+    init_sign_model,
+    make_optimizer,
+    optimize_sign_structure,
+    tune_neural_network,
+)
+from ..utils.log import logger
+from ..utils.metrics_writer import MetricsWriter
+from .common import add_system_arguments, load_system, resolve_ground_state
+
+
+def parse_command_line(argv=None):
+    parser = argparse.ArgumentParser(description="Kagome sign-network training.")
+    add_system_arguments(parser)
+    parser.add_argument("--mode", choices=["supervised", "annealing"], default="supervised")
+    parser.add_argument("--output", type=str, default="kagome_run")
+    parser.add_argument("--channels", type=int, default=28)
+    parser.add_argument("--number-samples", type=int, default=5000)
+    parser.add_argument("--epochs", type=int, default=300)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--learning-rate", type=float, default=1e-1)
+    parser.add_argument("--optimizer", type=str, default="sgd")
+    parser.add_argument("--sampled-power", type=float, default=1.5)
+    parser.add_argument("--number-outer-iterations", type=int, default=2)
+    parser.add_argument("--number-sa-sweeps", type=int, default=10000)
+    parser.add_argument("--seed", type=int, default=12345)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_command_line(argv)
+    op, name = load_system(args)
+    psi, _ = resolve_ground_state(op, name, args.hdf5)
+    psi = psi / np.linalg.norm(psi)
+    n = op.basis.number_spins
+
+    if n in (12, 36):
+        model = KagomeSignNetwork(number_spins=n, channels=args.channels)
+    else:
+        logger.warning(
+            "no lattice-convolution table for {} spins; using DenseSignModel", n
+        )
+        model = DenseSignModel(number_spins=n, features=(64, 64), use_batchnorm=False)
+
+    state = init_sign_model(
+        model, op.basis.states[:8],
+        make_optimizer(args.optimizer, args.learning_rate), seed=args.seed,
+    )
+    writer = MetricsWriter(args.output)
+    rng = np.random.RandomState(args.seed)
+
+    if args.mode == "supervised":
+        # sample ~ |psi|^2 and label with exact signs (the reference's
+        # cheat=True supervised sanity loop)
+        p = psi**2
+        p /= p.sum()
+        idx = rng.choice(op.basis.number_states, size=args.number_samples,
+                         replace=True, p=p)
+        spins, labels, counts = optimize_sign_structure(
+            op.basis.states[idx], op, ground_state=psi, cheat=True
+        )
+
+        def on_epoch_end(epoch, epochs, loss, accuracy=None):
+            if epoch % 50 == 0:
+                info = compute_metrics_on_full_space(op.basis, psi, state)
+                logger.debug(
+                    "[{}/{}]: loss = {}, accuracy = {}, overlap = {}",
+                    epoch, epochs, loss, info["accuracy"], info["overlap"],
+                )
+                writer.scalars(info, epoch)
+            writer.scalar("loss", loss, epoch)
+
+        info = compute_metrics_on_full_space(op.basis, psi, state)
+        logger.info("Accuracy: {}; overlap: {}", info["accuracy"], info["overlap"])
+        tune_neural_network(
+            state, spins, labels, weights=counts,
+            epochs=args.epochs, batch_size=args.batch_size,
+            seed=args.seed, on_epoch_end=on_epoch_end,
+        )
+    else:
+        config = TrainingConfig(
+            number_sa_sweeps=args.number_sa_sweeps,
+            number_supervised_epochs=args.epochs,
+            number_monte_carlo_samples=args.number_samples,
+            number_outer_iterations=args.number_outer_iterations,
+            train_batch_size=args.batch_size,
+            sampled_power=args.sampled_power,
+            output=args.output,
+            seed=args.seed,
+        )
+        find_ground_state(op, psi, state, config)
+
+    info = compute_metrics_on_full_space(op.basis, psi, state)
+    logger.info("Final accuracy: {}; overlap: {}", info["accuracy"], info["overlap"])
+    writer.close()
+    print(f"{info['accuracy']},{info['overlap']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

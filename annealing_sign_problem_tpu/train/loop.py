@@ -238,6 +238,57 @@ def find_ground_state(
     return state
 
 
+def test_simulated_annealing_on_patches(
+    hamiltonian: Operator,
+    ground_state: np.ndarray,
+    sampled_power: float = 2.0,
+    number_sweeps: int = 2000,
+    number_monte_carlo_samples: int = 2000,
+    number_outer_iterations: int = 2,
+    repetitions: int = 16,
+    seed: int = 12345,
+):
+    """Exact-field vs zero-field SA comparison on sampled patches
+    (train.py:392-458): how much does including the boundary field
+    h_i = sum_{j not in K} c_ij |psi_i| psi_j help sign recovery on
+    Monte-Carlo-sampled subsets? Returns a list of per-iteration dicts."""
+    rng = make_deterministic(seed)
+    basis = hamiltonian.basis
+    p = np.abs(ground_state) ** sampled_power
+    p /= p.sum()
+    log_fn = ground_state_to_log_coeff_fn(ground_state, basis)
+
+    results = []
+    for i in range(number_outer_iterations):
+        batch = rng.choice(basis.number_states, size=number_monte_carlo_samples,
+                           replace=True, p=p)
+        spins = np.unique(basis.states[batch])
+        exact = (np.asarray(ground_state)[basis.index(spins)] < 0).astype(np.int64)
+
+        row = {}
+        for label, kwargs in [
+            ("zero_field", dict(scale_field=0.0)),
+            ("exact_field", dict(external_field=True)),
+        ]:
+            model = make_ising_model(spins, hamiltonian, log_psi_fn=log_fn, **kwargs)
+            x, _ = anneal(
+                model.ising_hamiltonian,
+                x0=model.initial_signs,
+                seed=int(rng.randint(1 << 31)),
+                number_sweeps=number_sweeps,
+                repetitions=repetitions,
+            )
+            labels = (_bits.bits_to_signs(x, model.size) < 0).astype(np.int64)
+            acc = float(np.mean(labels == exact))
+            row[label] = max(acc, 1.0 - acc)
+        logger.info(
+            "SA accuracy with exact fields: {:.4f}; with zero fields: {:.4f}",
+            row["exact_field"], row["zero_field"],
+        )
+        results.append(row)
+    return results
+
+
 def cached_sa_dataset(cache_path: str, builder):
     """Build-or-load an (spins, labels, counts) supervised dataset.
 
