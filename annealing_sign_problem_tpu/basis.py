@@ -354,34 +354,63 @@ class SpinBasis:
         self._part_table_cache = (tables, shifts)
         return tables, shifts
 
-    def _perm_images_device(self, spins: jax.Array) -> jax.Array:
-        """(..., G) uint64 permutation-group images via MXU matmuls."""
+    def _orbit_reduce_device(self, spins: jax.Array):
+        """Orbit reduction with no 64-bit arithmetic in the hot path.
+
+        Group images are computed as exact <=16-bit f32 parts via MXU
+        matmuls; the orbit minimum is a lexicographic compare from the
+        most significant part down, entirely in f32 (64-bit integer ops
+        are emulated on TPU and dominate runtime otherwise). Returns
+        (rep (uint64), chi of a minimising element, is_rep, stabiliser
+        character sum).
+        """
         n = self.number_spins
         tables, part_shifts = self._part_tables()
+        n_parts = tables.shape[0]
         shifts = jnp.arange(n, dtype=jnp.uint64)
         bit = ((spins[..., None] >> shifts) & jnp.uint64(1)).astype(jnp.float32)
-        imgs = jnp.zeros(spins.shape + (self._perms.shape[0],), dtype=jnp.uint64)
-        for p in range(tables.shape[0]):
+
+        chars = jnp.asarray(self._chars, dtype=jnp.float32)
+        full_mask = self._full_mask()
+        parts = []
+        for p in range(n_parts):
             part = jnp.dot(
                 bit, jnp.asarray(tables[p]), preferred_element_type=jnp.float32
+            )  # (..., G), exact integers < 2^16 * 1 (single set bit per weight)
+            if self.spin_inversion is not None:
+                mask_p = jnp.float32((int(full_mask) >> (16 * p)) & 0xFFFF)
+                part = jnp.concatenate([part, mask_p - part], axis=-1)
+            parts.append(part)
+        if self.spin_inversion is not None:
+            chars = jnp.concatenate(
+                [chars, jnp.float32(self._inversion_character()) * chars]
             )
-            imgs = imgs | (part.astype(jnp.uint64) << part_shifts[p])
-        return imgs
+
+        # lexicographic min over the group, most significant part first
+        sel = jnp.ones(parts[0].shape, dtype=bool)
+        rep = jnp.zeros(spins.shape, dtype=jnp.uint64)
+        state_eq = jnp.ones(parts[0].shape, dtype=bool)
+        for p in reversed(range(n_parts)):
+            cur = jnp.where(sel, parts[p], jnp.inf)
+            mp = jnp.min(cur, axis=-1)
+            sel = sel & (parts[p] == mp[..., None])
+            rep = rep | (mp.astype(jnp.uint64) << part_shifts[p])
+            own = ((spins >> part_shifts[p]) & jnp.uint64(0xFFFF)).astype(jnp.float32)
+            state_eq = state_eq & (parts[p] == own[..., None])
+
+        # chi of a minimising element; ties prefer +1 (the perm part wins)
+        chi = jnp.max(jnp.where(sel, chars, -jnp.inf), axis=-1)
+        stab = jnp.sum(jnp.where(state_eq, chars, 0.0), axis=-1)
+        is_rep = rep == spins
+        return rep, chi.astype(jnp.float64), is_rep, stab.astype(jnp.float64)
 
     def state_info_device(self, spins: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Jittable version of :meth:`state_info` (matmul-based orbit
         minimisation; exact)."""
         if not self.has_symmetries:
             return spins, jnp.ones(spins.shape, dtype=jnp.float64)
-        chars = jnp.asarray(self._chars)
-        imgs = self._perm_images_device(spins)
-        if self.spin_inversion is not None:
-            inv = imgs ^ self._full_mask()
-            imgs = jnp.concatenate([imgs, inv], axis=-1)
-            chars = jnp.concatenate([chars, self._inversion_character() * chars])
-        which = jnp.argmin(imgs, axis=-1)
-        rep = jnp.min(imgs, axis=-1)
-        return rep, chars[which]
+        rep, chi, _, _ = self._orbit_reduce_device(spins)
+        return rep, chi
 
     def orbit_info_device(self, spins: jax.Array):
         """(representative, is_representative, stabiliser character sum) for
@@ -390,17 +419,7 @@ class SpinBasis:
         if not self.has_symmetries:
             ones = jnp.ones(spins.shape, dtype=jnp.float64)
             return spins, jnp.ones(spins.shape, dtype=bool), ones
-        chars = jnp.asarray(self._chars)
-        imgs = self._perm_images_device(spins)
-        if self.spin_inversion is not None:
-            inv = imgs ^ self._full_mask()
-            imgs = jnp.concatenate([imgs, inv], axis=-1)
-            chars = jnp.concatenate([chars, self._inversion_character() * chars])
-        rep = jnp.min(imgs, axis=-1)
-        is_rep = rep == spins
-        stab = jnp.sum(
-            jnp.where(imgs == spins[..., None], chars, 0.0), axis=-1
-        )
+        rep, _, is_rep, stab = self._orbit_reduce_device(spins)
         return rep, is_rep, stab
 
     def __repr__(self) -> str:
