@@ -162,6 +162,7 @@ def ground_state_large(
     dtype=jnp.float32,
     seed: int = 0,
     image_buffer_bytes: int = 1 << 30,
+    ell_budget_bytes: int = 6 << 30,
 ) -> Tuple[float, np.ndarray]:
     """Restarted Lanczos with an on-the-fly symmetrised matvec.
 
@@ -173,6 +174,12 @@ def ground_state_large(
 
     basis = operator.basis
     K = basis.number_states
+    W = operator.max_neighbours
+    # when the resolved neighbour table fits in HBM, build it once and make
+    # every matvec a pure gather (the orbit reduction costs ~1000x more
+    # than a gather and is iteration-independent)
+    ell_bytes = K * W * 8
+    use_cached_ell = ell_bytes <= ell_budget_bytes
     if chunk_size is None:
         # bound the per-chunk orbit-image working set: each state expands
         # to (P+1) neighbours x 2G images (uint64) plus f32 matmul parts
@@ -191,19 +198,40 @@ def ground_state_large(
     norms_dev = jnp.asarray(np.sqrt(basis.norms), dtype=jnp.float32)
     m = min(num_iter, K)
 
-    def matvec(x):
-        def chunk_body(_, c):
-            chunk_states = d_chunks[c]
-            chunk_norm = d_norms[c]
-            nbrs, coeffs = operator.apply_padded(chunk_states)
-            idx = jnp.clip(jnp.searchsorted(states_dev, nbrs), 0, K - 1)
-            member = states_dev[idx] == nbrs
-            factor = jnp.where(member, norms_dev[idx], 0.0) / chunk_norm[:, None]
-            vals = coeffs.astype(dtype) * factor.astype(dtype)
-            return None, jnp.sum(vals * x[idx], axis=1)
+    def resolve_chunk(chunk_states, chunk_norm, x=None):
+        nbrs, coeffs = operator.apply_padded(chunk_states)
+        idx = jnp.clip(jnp.searchsorted(states_dev, nbrs), 0, K - 1)
+        member = states_dev[idx] == nbrs
+        factor = jnp.where(member, norms_dev[idx], 0.0) / chunk_norm[:, None]
+        vals = coeffs.astype(dtype) * factor.astype(dtype)
+        if x is None:
+            return idx.astype(jnp.int32), vals
+        return jnp.sum(vals * x[idx], axis=1)
 
-        _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
-        return parts.reshape(-1)[:K]
+    if use_cached_ell:
+        logger.info(
+            "building resolved neighbour table ({:.2f} GB on device)",
+            ell_bytes / 2**30,
+        )
+        resolve = jax.jit(resolve_chunk)
+        parts = [
+            resolve(d_chunks[c], d_norms[c]) for c in range(n_chunks)
+        ]
+        ell_idx = jnp.concatenate([p[0] for p in parts])[:K]
+        ell_val = jnp.concatenate([p[1] for p in parts])[:K]
+        del parts
+
+        def matvec(x):
+            return jnp.sum(ell_val * x[ell_idx], axis=1)
+
+    else:
+
+        def matvec(x):
+            def chunk_body(_, c):
+                return None, resolve_chunk(d_chunks[c], d_norms[c], x)
+
+            _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
+            return parts.reshape(-1)[:K]
 
     # one dispatch per Lanczos iteration: the device holds V; the host only
     # sees (alpha, beta) scalars. Keeping dispatches at seconds granularity
