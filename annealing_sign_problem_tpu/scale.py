@@ -213,13 +213,21 @@ def ground_state_large(
             "building resolved neighbour table ({:.2f} GB on device)",
             ell_bytes / 2**30,
         )
-        resolve = jax.jit(resolve_chunk)
-        parts = [
-            resolve(d_chunks[c], d_norms[c]) for c in range(n_chunks)
-        ]
-        ell_idx = jnp.concatenate([p[0] for p in parts])[:K]
-        ell_val = jnp.concatenate([p[1] for p in parts])[:K]
-        del parts
+
+        @jax.jit
+        def build_all():
+            # one dispatch: each host->device round trip costs ~100ms over
+            # the link, so the whole table builds in a device-side scan
+            def body(_, c):
+                return None, resolve_chunk(d_chunks[c], d_norms[c])
+
+            _, (I, V) = jax.lax.scan(body, None, jnp.arange(n_chunks))
+            W_slots = I.shape[-1]
+            return I.reshape(-1, W_slots)[:K], V.reshape(-1, W_slots)[:K]
+
+        ell_idx, ell_val = build_all()
+        ell_idx.block_until_ready()
+        logger.info("neighbour table ready")
 
         def matvec(x):
             return jnp.sum(ell_val * x[ell_idx], axis=1)
