@@ -198,11 +198,11 @@ def ground_state_large(
     norms_dev = jnp.asarray(np.sqrt(basis.norms), dtype=jnp.float32)
     m = min(num_iter, K)
 
-    def resolve_chunk(chunk_states, chunk_norm, x=None):
+    def resolve_chunk(chunk_states, chunk_norm, states_s, norms_s, x=None):
         nbrs, coeffs = operator.apply_padded(chunk_states)
-        idx = jnp.clip(jnp.searchsorted(states_dev, nbrs), 0, K - 1)
-        member = states_dev[idx] == nbrs
-        factor = jnp.where(member, norms_dev[idx], 0.0) / chunk_norm[:, None]
+        idx = jnp.clip(jnp.searchsorted(states_s, nbrs), 0, K - 1)
+        member = states_s[idx] == nbrs
+        factor = jnp.where(member, norms_s[idx], 0.0) / chunk_norm[:, None]
         vals = coeffs.astype(dtype) * factor.astype(dtype)
         if x is None:
             return idx.astype(jnp.int32), vals
@@ -215,28 +215,35 @@ def ground_state_large(
         )
 
         @jax.jit
-        def build_all():
+        def build_all(chunks, cnorms, states_s, norms_s):
             # one dispatch: each host->device round trip costs ~100ms over
             # the link, so the whole table builds in a device-side scan
             def body(_, c):
-                return None, resolve_chunk(d_chunks[c], d_norms[c])
+                return None, resolve_chunk(chunks[c], cnorms[c], states_s, norms_s)
 
             _, (I, V) = jax.lax.scan(body, None, jnp.arange(n_chunks))
             W_slots = I.shape[-1]
             return I.reshape(-1, W_slots)[:K], V.reshape(-1, W_slots)[:K]
 
-        ell_idx, ell_val = build_all()
+        ell_idx, ell_val = build_all(d_chunks, d_norms, states_dev, norms_dev)
         ell_idx.block_until_ready()
         logger.info("neighbour table ready")
+        # NB: the table is passed to the jitted steps as an *argument* —
+        # closing over it would embed 100s of MB of constants in the HLO
+        big = (ell_idx, ell_val)
 
-        def matvec(x):
+        def matvec(x, big):
+            ell_idx, ell_val = big
             return jnp.sum(ell_val * x[ell_idx], axis=1)
 
     else:
+        big = (d_chunks, d_norms, states_dev, norms_dev)
 
-        def matvec(x):
+        def matvec(x, big):
+            chunks, cnorms, states_s, norms_s = big
+
             def chunk_body(_, c):
-                return None, resolve_chunk(d_chunks[c], d_norms[c], x)
+                return None, resolve_chunk(chunks[c], cnorms[c], states_s, norms_s, x)
 
             _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
             return parts.reshape(-1)[:K]
@@ -245,8 +252,8 @@ def ground_state_large(
     # sees (alpha, beta) scalars. Keeping dispatches at seconds granularity
     # also stays clear of runtime watchdogs on very long single executions.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def lanczos_step(V, v, j):
-        w = matvec(v)
+    def lanczos_step(V, v, j, big):
+        w = matvec(v, big)
         alpha = jnp.vdot(v, w)
         w = w - alpha * v
         for _ in range(2):
@@ -273,7 +280,7 @@ def ground_state_large(
         alphas = np.zeros(m)
         betas = np.zeros(m)
         for j in range(m):
-            V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j))
+            V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), big)
             alphas[j], betas[j] = float(a_j), float(b_j)
         evals, evecs = scipy.linalg.eigh_tridiagonal(
             alphas, betas[:-1], select="i", select_range=(0, 0)
