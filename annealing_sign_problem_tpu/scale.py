@@ -163,12 +163,17 @@ def ground_state_large(
     seed: int = 0,
     image_buffer_bytes: int = 1 << 30,
     ell_budget_bytes: int = 6 << 30,
+    polish_restarts: int = 2,
+    polish_dtype=jnp.float64,
 ) -> Tuple[float, np.ndarray]:
     """Restarted Lanczos with an on-the-fly symmetrised matvec.
 
     Handles bases far beyond what a materialised matrix allows (the
     kagome-36 sector is 31.5M representatives; an ELL cache would need
-    ~18 GB). Returns (energy, float64-normalised eigenvector on host).
+    ~18 GB). Runs the bulk of the iteration in ``dtype`` (f32 — fast on
+    device) and polishes with ``polish_restarts`` float64 restarts so the
+    sign/amplitude oracle reaches reference (f64) quality. Returns
+    (energy, float64-normalised eigenvector on host).
     """
     import scipy.linalg
 
@@ -198,16 +203,17 @@ def ground_state_large(
     norms_dev = jnp.asarray(np.sqrt(basis.norms), dtype=jnp.float32)
     m = min(num_iter, K)
 
-    def resolve_chunk(chunk_states, chunk_norm, states_s, norms_s, x=None):
+    def resolve_chunk(chunk_states, chunk_norm, states_s, norms_s, dt, x=None):
         nbrs, coeffs = operator.apply_padded(chunk_states)
         idx = jnp.clip(jnp.searchsorted(states_s, nbrs), 0, K - 1)
         member = states_s[idx] == nbrs
         factor = jnp.where(member, norms_s[idx], 0.0) / chunk_norm[:, None]
-        vals = coeffs.astype(dtype) * factor.astype(dtype)
+        vals = coeffs.astype(dt) * factor.astype(dt)
         if x is None:
             return idx.astype(jnp.int32), vals
         return jnp.sum(vals * x[idx], axis=1)
 
+    ell_idx = ell_val = None
     if use_cached_ell:
         logger.info(
             "building resolved neighbour table ({:.2f} GB on device)",
@@ -219,7 +225,9 @@ def ground_state_large(
             # one dispatch: each host->device round trip costs ~100ms over
             # the link, so the whole table builds in a device-side scan
             def body(_, c):
-                return None, resolve_chunk(chunks[c], cnorms[c], states_s, norms_s)
+                return None, resolve_chunk(
+                    chunks[c], cnorms[c], states_s, norms_s, jnp.float32
+                )
 
             _, (I, V) = jax.lax.scan(body, None, jnp.arange(n_chunks))
             W_slots = I.shape[-1]
@@ -228,73 +236,102 @@ def ground_state_large(
         ell_idx, ell_val = build_all(d_chunks, d_norms, states_dev, norms_dev)
         ell_idx.block_until_ready()
         logger.info("neighbour table ready")
-        # NB: the table is passed to the jitted steps as an *argument* —
-        # closing over it would embed 100s of MB of constants in the HLO
-        big = (ell_idx, ell_val)
 
-        def matvec(x, big):
-            ell_idx, ell_val = big
-            return jnp.sum(ell_val * x[ell_idx], axis=1)
+    def make_phase(dt):
+        """jitted Lanczos step + Ritz assembly for one working dtype.
 
-    else:
-        big = (d_chunks, d_norms, states_dev, norms_dev)
+        Large tables are passed as jit *arguments* — closing over them
+        would embed 100s of MB of constants in the HLO and overflow the
+        compile path."""
+        if use_cached_ell:
+            big = (ell_idx, ell_val.astype(dt))
 
-        def matvec(x, big):
-            chunks, cnorms, states_s, norms_s = big
+            def matvec(x, big):
+                I, V = big
+                return jnp.sum(V * x[I], axis=1)
 
-            def chunk_body(_, c):
-                return None, resolve_chunk(chunks[c], cnorms[c], states_s, norms_s, x)
+        else:
+            big = (d_chunks, d_norms, states_dev, norms_dev)
 
-            _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
-            return parts.reshape(-1)[:K]
+            def matvec(x, big):
+                chunks, cnorms, states_s, norms_s = big
 
-    # one dispatch per Lanczos iteration: the device holds V; the host only
-    # sees (alpha, beta) scalars. Keeping dispatches at seconds granularity
-    # also stays clear of runtime watchdogs on very long single executions.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def lanczos_step(V, v, j, big):
-        w = matvec(v, big)
-        alpha = jnp.vdot(v, w)
-        w = w - alpha * v
-        for _ in range(2):
-            w = w - V.T @ (V @ w)
-        beta = jnp.linalg.norm(w)
-        v_next = w / jnp.where(beta > 0, beta, 1.0)
-        V = V.at[j].set(v)
-        return V, v_next, alpha, beta
+                def chunk_body(_, c):
+                    return None, resolve_chunk(
+                        chunks[c], cnorms[c], states_s, norms_s, dt, x
+                    )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def ritz_vector(V, s):
-        x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
-        return x / jnp.linalg.norm(x)
+                _, parts = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
+                return parts.reshape(-1)[:K]
+
+        # one dispatch per Lanczos iteration: the device holds V; the host
+        # only sees (alpha, beta) scalars — and dispatches stay at seconds
+        # granularity, clear of runtime watchdogs on long executions.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def lanczos_step(V, v, j, big):
+            w = matvec(v, big)
+            alpha = jnp.vdot(v, w)
+            w = w - alpha * v
+            for _ in range(2):
+                w = w - V.T @ (V @ w)
+            beta = jnp.linalg.norm(w)
+            v_next = w / jnp.where(beta > 0, beta, 1.0)
+            V = V.at[j].set(v)
+            return V, v_next, alpha, beta
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def ritz_vector(V, s):
+            x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
+            return x / jnp.linalg.norm(x)
+
+        return big, lanczos_step, ritz_vector
+
+    def run_phase(v, dt, n_restarts, theta):
+        big, lanczos_step, ritz_vector = make_phase(dt)
+        x = v
+        for r in range(n_restarts):
+            t0 = time.time()
+            V = jnp.zeros((m, K), dtype=dt)
+            alphas = np.zeros(m)
+            betas = np.zeros(m)
+            for j in range(m):
+                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), big)
+                alphas[j], betas[j] = float(a_j), float(b_j)
+            # truncate at the first (near-)breakdown: once beta underflows
+            # the working precision the Krylov space is exhausted and later
+            # alphas/betas are noise (classic f32 Lanczos failure — a
+            # spurious huge eigenvalue appears without this guard)
+            scale0 = max(np.abs(alphas).max(), 1e-30)
+            eps_beta = 1e-6 if dt == jnp.float32 else 1e-13
+            cut = np.nonzero(betas[:-1] < eps_beta * scale0)[0]
+            mj = int(cut[0]) + 1 if len(cut) else m
+            evals, evecs = scipy.linalg.eigh_tridiagonal(
+                alphas[:mj], betas[: mj - 1], select="i", select_range=(0, 0)
+            )
+            theta_new = float(evals[0])
+            s = np.zeros(m)
+            s[:mj] = evecs[:, 0]
+            x = ritz_vector(V, s)
+            logger.info(
+                "Lanczos restart {} ({}): E = {:.12f} ({:.0f}s)",
+                r, np.dtype(dt).name, theta_new, time.time() - t0,
+            )
+            converged = abs(theta_new - theta) < tol * max(1.0, abs(theta_new))
+            theta = theta_new
+            v = x
+            if converged or mj < m:
+                break
+        return theta, x
 
     rng = np.random.RandomState(seed)
     v = rng.standard_normal(K)
     v /= np.linalg.norm(v)
-    v = jnp.asarray(v, dtype=dtype)
 
-    theta, x = np.inf, None
-    for r in range(restarts):
-        t0 = time.time()
-        V = jnp.zeros((m, K), dtype=dtype)
-        alphas = np.zeros(m)
-        betas = np.zeros(m)
-        for j in range(m):
-            V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), big)
-            alphas[j], betas[j] = float(a_j), float(b_j)
-        evals, evecs = scipy.linalg.eigh_tridiagonal(
-            alphas, betas[:-1], select="i", select_range=(0, 0)
+    theta, x = run_phase(jnp.asarray(v, dtype=dtype), dtype, restarts, np.inf)
+    if polish_restarts > 0 and np.dtype(polish_dtype) != np.dtype(dtype):
+        theta, x = run_phase(
+            jnp.asarray(x, dtype=polish_dtype), polish_dtype, polish_restarts, theta
         )
-        theta_new = float(evals[0])
-        x = ritz_vector(V, evecs[:, 0])
-        logger.info(
-            "Lanczos restart {}: E = {:.12f} ({:.0f}s)", r, theta_new, time.time() - t0
-        )
-        converged = abs(theta_new - theta) < tol * max(1.0, abs(theta_new))
-        theta = theta_new
-        v = x
-        if converged:
-            break
 
     x = np.array(x, dtype=np.float64)
     x /= np.linalg.norm(x)
