@@ -1,0 +1,23 @@
+"""Mesh-sharded large-basis ED on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from annealing_sign_problem_tpu import ed, systems
+from annealing_sign_problem_tpu.io import basis_from_config, operator_from_config
+from annealing_sign_problem_tpu.parallel import make_mesh
+from annealing_sign_problem_tpu.scale import ground_state_sharded
+
+
+def test_ground_state_sharded_matches_small():
+    config = systems.get_system("heisenberg_kagome_18")
+    basis = basis_from_config(config).build()
+    op = operator_from_config(config, basis)
+    mesh = make_mesh()
+    e_sharded, psi_sharded = ground_state_sharded(
+        op, mesh, num_iter=48, restarts=6, chunk_size=512, dtype=jnp.float64,
+    )
+    e_ref, psi_ref = ed.ground_state(op, num_iter=96, seed=0)
+    assert e_sharded == pytest.approx(e_ref, abs=1e-7)
+    assert abs(np.dot(psi_sharded, psi_ref)) == pytest.approx(1.0, abs=1e-7)
