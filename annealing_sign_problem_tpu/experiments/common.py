@@ -52,7 +52,15 @@ def load_system(args) -> Tuple[Operator, str]:
         config = load_yaml_config(args.yaml)
         name = os.path.splitext(os.path.basename(args.yaml))[0]
     elif getattr(args, "system", None):
-        config = systems.get_system(args.system)
+        try:
+            config = systems.get_system(args.system)
+        except KeyError:
+            raise SystemExit(
+                f"unknown system: {args.system!r}; built-ins: "
+                + ", ".join(sorted(["j1j2_square_4x4", *systems.SMALL_SYSTEMS,
+                                    "heisenberg_kagome_36",
+                                    "heisenberg_pyrochlore_2x2x2", "sk_32_1"]))
+            )
         name = args.system
     else:
         raise SystemExit("specify either --system or --yaml")

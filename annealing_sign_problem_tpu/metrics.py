@@ -47,7 +47,7 @@ def compute_accuracy_and_overlap(
     overlap = float(
         abs(np.dot(exact_signs * predicted_signs, weights / np.sum(weights)))
     )
-    return accuracy, overlap
+    return accuracy, min(overlap, 1.0)  # clip float-noise overshoot
 
 
 def cluster_statistics(ising_model) -> dict:
