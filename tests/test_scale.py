@@ -59,3 +59,19 @@ def test_ground_state_large_matches_small():
     e_small, psi_small = ed.ground_state(op, num_iter=96, seed=0)
     assert e_large == pytest.approx(e_small, abs=1e-7)
     assert abs(np.dot(psi_large, psi_small)) == pytest.approx(1.0, abs=1e-7)
+
+
+def test_ground_state_codebook_matches_small():
+    from annealing_sign_problem_tpu.scale import ground_state_codebook
+
+    config = systems.get_system("heisenberg_kagome_18")
+    basis = basis_from_config(config)
+    build_basis_at_scale(basis, hi_batch=256)
+    op = operator_from_config(config, basis)
+    e_cb, psi_cb = ground_state_codebook(
+        op, num_iter=48, restarts=6, chunk_size=1024, super_chunks=4,
+        polish_restarts=2, polish_iter=24,
+    )
+    e_ref, psi_ref = ed.ground_state(op, num_iter=96, seed=0)
+    assert e_cb == pytest.approx(e_ref, abs=1e-7)
+    assert abs(np.dot(psi_cb, psi_ref)) == pytest.approx(1.0, abs=1e-6)
