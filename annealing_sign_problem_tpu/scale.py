@@ -535,16 +535,17 @@ def ground_state_codebook(
     states_dev = basis.states_device
     norms_dev = jnp.asarray(np.sqrt(basis.norms), dtype=jnp.float32)
 
-    # ---- build the packed table, a super-chunk of rows per dispatch --------
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def build_super(packed, diag, chunk_ids, chunks, cnorms, states_s, norms_s, cb):
-        def body(carry, i):
-            packed, diag = carry
-            c = chunk_ids[i]
-            nbrs, coeffs = operator.apply_padded(chunks[c])
+    # ---- build the packed table as independent row blocks ------------------
+    # NEVER one monolithic (Kp, W-1) buffer: a scan carry (or concatenate)
+    # would transiently double 9 GB and take down the chip. Each dispatch
+    # returns its own block; the block list IS the table.
+    @jax.jit
+    def build_super(chunks_slice, cnorms_slice, states_s, norms_s, cb):
+        def body(_, i):
+            nbrs, coeffs = operator.apply_padded(chunks_slice[i])
             idx = jnp.clip(jnp.searchsorted(states_s, nbrs), 0, K - 1)
             member = states_s[idx] == nbrs
-            factor = jnp.where(member, norms_s[idx], 0.0) / cnorms[c][:, None]
+            factor = jnp.where(member, norms_s[idx], 0.0) / cnorms_slice[i][:, None]
             vals = coeffs.astype(jnp.float32) * factor
             # encode off-diagonal slots: nearest codebook entry
             off_vals = vals[:, 1:]
@@ -552,43 +553,56 @@ def ground_state_codebook(
             left, right = cb[pos - 1], cb[pos]
             code = jnp.where(off_vals - left < right - off_vals, pos - 1, pos)
             word = idx[:, 1:].astype(jnp.uint32) | (code.astype(jnp.uint32) << 25)
-            packed = jax.lax.dynamic_update_slice(
-                packed, word, (c * chunk_size, 0)
-            )
-            diag = jax.lax.dynamic_update_slice(diag, vals[:, 0], (c * chunk_size,))
-            return (packed, diag), jnp.max(jnp.abs(jnp.where(
+            err = jnp.max(jnp.abs(jnp.where(
                 code == pos - 1, off_vals - left, off_vals - right)))
+            return None, (word, vals[:, 0], err)
 
-        (packed, diag), errs = jax.lax.scan(body, (packed, diag), jnp.arange(chunk_ids.shape[0]))
-        return packed, diag, jnp.max(errs)
+        _, (words, diags, errs) = jax.lax.scan(
+            body, None, jnp.arange(chunks_slice.shape[0])
+        )
+        return (
+            words.reshape(-1, words.shape[-1]),
+            diags.reshape(-1),
+            jnp.max(errs),
+        )
 
-    packed = jnp.zeros((Kp, W - 1), dtype=jnp.uint32)
-    diag = jnp.zeros((Kp,), dtype=jnp.float32)
+    blocks = []
     t0 = time.time()
     per = max(n_chunks // super_chunks, 1)
     max_err = 0.0
     for s in range(0, n_chunks, per):
-        ids = jnp.arange(s, min(s + per, n_chunks))
-        packed, diag, err = build_super(
-            packed, diag, ids, d_chunks, d_norms, states_dev, norms_dev, codebook
+        e = min(s + per, n_chunks)
+        words, diags, err = build_super(
+            d_chunks[s:e], d_norms[s:e], states_dev, norms_dev, codebook
         )
+        blocks.append((words, diags))
         max_err = max(max_err, float(err))
         logger.info(
             "packed table: {}/{} chunks ({:.0f}s), encode err {:.2e}",
-            min(s + per, n_chunks), n_chunks, time.time() - t0, max_err,
+            e, n_chunks, time.time() - t0, max_err,
         )
     if max_err > 1e-5:
         raise RuntimeError(f"codebook encoding error too large: {max_err}")
+    blocks = tuple(blocks)
 
     m = min(num_iter, K)
 
     def make_phase(dt, m_phase):
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def lanczos_step(V, v, j, packed, diag, cb):
-            idx = (packed & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-            code = (packed >> 25).astype(jnp.int32)
-            vals = cb.astype(dt)[code]
-            w = diag.astype(dt) * v + jnp.sum(vals * v[idx], axis=1)
+        def lanczos_step(V, v, j, blocks, cb):
+            cbt = cb.astype(dt)
+            parts = []
+            offset = 0
+            for words, diags in blocks:
+                rows = words.shape[0]
+                idx = (words & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                code = (words >> 25).astype(jnp.int32)
+                v_rows = jax.lax.dynamic_slice_in_dim(v, offset, rows)
+                parts.append(
+                    diags.astype(dt) * v_rows + jnp.sum(cbt[code] * v[idx], axis=1)
+                )
+                offset += rows
+            w = jnp.concatenate(parts)
             # padded rows reference index 0 with code 0 (value 0) — inert
             alpha = jnp.vdot(v[:K], w[:K])
             w = w - alpha * v
@@ -615,7 +629,7 @@ def ground_state_codebook(
             alphas = np.zeros(m_phase)
             betas = np.zeros(m_phase)
             for j in range(m_phase):
-                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), packed, diag, codebook)
+                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), blocks, codebook)
                 alphas[j], betas[j] = float(a_j), float(b_j)
             scale0 = max(np.abs(alphas).max(), 1e-30)
             eps_beta = 1e-6 if dt == jnp.float32 else 1e-13
