@@ -41,6 +41,29 @@ def create_cluster_for_local_energy(s0: int, hamiltonian) -> np.ndarray:
     return np.unique(np.append(xs[cs != 0.0], np.uint64(s0)))
 
 
+def extract_local_hamiltonian(hamiltonian, cluster: np.ndarray) -> scipy.sparse.csr_matrix:
+    """The quantum Hamiltonian restricted to a cluster of basis states —
+    <s_i|H|s_j> for s_i, s_j in the cluster (the reference's
+    slice_coo_matrix/extract_local_hamiltonian pair,
+    astrakhantsev_2021.py:401-429)."""
+    import jax.numpy as jnp
+
+    cluster = np.unique(_bits.spins_to_array(cluster))
+    n = len(cluster)
+    nbrs, coeffs = hamiltonian.apply_padded(jnp.asarray(cluster))
+    nbrs, coeffs = np.asarray(nbrs), np.asarray(coeffs)
+    idx = np.clip(np.searchsorted(cluster, nbrs), 0, n - 1)
+    member = cluster[idx] == nbrs
+    rows = np.repeat(np.arange(n), nbrs.shape[1])
+    data = np.where(member, coeffs, 0.0).reshape(-1)
+    m = scipy.sparse.coo_matrix(
+        (data, (rows, idx.reshape(-1))), shape=(n, n)
+    ).tocsr()
+    m.sum_duplicates()
+    m.eliminate_zeros()
+    return m
+
+
 def is_frustrated(exchange: scipy.sparse.spmatrix) -> bool:
     """True iff the Ising model's couplings cannot all be satisfied — a
     parity-consistency (signed 2-coloring) check via union-find

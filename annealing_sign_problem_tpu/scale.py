@@ -568,7 +568,9 @@ def ground_state_codebook(
 
     blocks = []
     t0 = time.time()
-    per = max(n_chunks // super_chunks, 1)
+    # dispatches much beyond ~60 chunks (~10s) have crashed the TPU worker
+    # in this environment; keep them short — the per-dispatch RTT is small
+    per = int(np.clip(n_chunks // super_chunks, 1, 64))
     max_err = 0.0
     for s in range(0, n_chunks, per):
         e = min(s + per, n_chunks)

@@ -113,3 +113,21 @@ def test_local_energy_cheat_is_exact(kagome16):
     s0 = int(op.basis.states[1234])
     e = compute_local_energy_for_sample(s0, op, log_fn, ground_state=psi, mode="cheat")
     assert e.real == pytest.approx(energy, abs=1e-6)
+
+
+def test_extract_local_hamiltonian(kagome16):
+    from annealing_sign_problem_tpu.experiments.nqs_baseline import (
+        extract_local_hamiltonian,
+    )
+
+    op, _, psi = kagome16
+    cluster = op.basis.states[:15]
+    m = extract_local_hamiltonian(op, cluster)
+    assert m.shape == (15, 15)
+    assert abs(m - m.T).max() < 1e-12
+    # entries agree with direct apply
+    nbrs, coeffs = op.apply(cluster[0])
+    for t, c in zip(nbrs.tolist(), coeffs.tolist()):
+        j = np.searchsorted(cluster, np.uint64(t))
+        if j < 15 and cluster[j] == np.uint64(t):
+            assert m[0, j] == pytest.approx(c)
