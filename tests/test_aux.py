@@ -153,3 +153,29 @@ def test_square_lattice_cli(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out, "best.out"))
     best = np.loadtxt(os.path.join(out, "best.out"))
     assert np.all(np.diff(best) <= 1e-9)  # best-energy trace non-increasing
+
+
+def test_cluster_statistics(ring8):
+    from annealing_sign_problem_tpu.metrics import cluster_statistics
+
+    op, _, psi = ring8
+    log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
+    model = make_ising_model(op.basis.states, op, log_psi_fn=log_fn)
+    stats = cluster_statistics(model)
+    assert stats["spins"] == op.basis.number_states
+    assert stats["bonds"] > 0
+    # the Heisenberg ring is Marshall-sign-rule solvable: with exact signs
+    # no bond is frustrated
+    assert stats["frustrated"] == 0.0
+    assert stats["largest_frustrated"] == 0.0
+
+
+def test_coupling_distribution(ring8):
+    from annealing_sign_problem_tpu.metrics import compute_distribution_of_couplings
+
+    op, _, psi = ring8
+    hist = compute_distribution_of_couplings(op.basis.states[:50], op, psi)
+    assert hist.shape == (1000,)
+    nz = hist[hist > 0]
+    # rank-ordered means are non-increasing
+    assert np.all(np.diff(nz) <= 1e-12)
