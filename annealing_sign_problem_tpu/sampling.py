@@ -68,30 +68,56 @@ def create_small_cluster_around_point(
 ) -> List[int]:
     """Stochastic BFS from seed s0 through H-connectivity: each H-connected
     child is kept with probability ``keep_probability`` until
-    ``required_size`` states are collected (common.py:481-513)."""
+    ``required_size`` states are collected (common.py:481-513).
+
+    The growth order and RNG stream match the reference's sequential loop,
+    but operator applications batch per BFS frontier — one device call per
+    level instead of one per state (the round trip dominates on remote
+    accelerators)."""
+    import jax.numpy as jnp
+
     if rng is None:
         rng = np.random
     s0 = int(s0)
     spins = {s0}
 
-    def children_of(s: int) -> List[int]:
-        xs, cs = hamiltonian.apply(np.uint64(s))
+    def batched_neighbour_lists(states: List[int]) -> dict:
+        # pad to a power of two: varying frontier sizes would otherwise
+        # trigger a fresh compile per BFS level
+        n = len(states)
+        b = 1
+        while b < n:
+            b <<= 1
+        padded = np.full(b, states[-1], dtype=np.uint64)
+        padded[:n] = states
+        nbrs, coeffs = hamiltonian.apply_padded(jnp.asarray(padded))
+        nbrs = np.asarray(nbrs)[:n, 1:]
+        coeffs = np.asarray(coeffs)[:n, 1:]
+        return {
+            s: [int(x) for x, c in zip(row, crow) if c != 0.0]
+            for s, row, crow in zip(states, nbrs, coeffs)
+        }
+
+    def children_of(s: int, tables: dict) -> List[int]:
         children = []
-        for x, c in zip(xs.tolist(), cs.tolist()):
-            if x in spins or c == 0.0:
+        for x in tables[s]:
+            if x in spins:
                 continue
             if rng.rand() <= keep_probability:
-                children.append(int(x))
+                children.append(x)
         return children
 
-    children = children_of(s0)
+    tables = batched_neighbour_lists([s0])
+    children = children_of(s0, tables)
     while len(spins) < required_size and len(children) > 0:
+        frontier = list(children)
+        tables = batched_neighbour_lists(frontier)
         new_children = set()
-        for child in children:
+        for child in frontier:
             spins.add(child)
             if len(spins) >= required_size:
                 break
-            new_children |= set(children_of(child))
+            new_children |= set(children_of(child, tables))
         children = new_children
 
     return sorted(spins)
