@@ -23,6 +23,7 @@ Everything is shape-bucketed and jitted once per system.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Optional, Tuple
 
@@ -493,6 +494,7 @@ def ground_state_codebook(
     seed: int = 0,
     polish_restarts: int = 1,
     polish_iter: int = 12,
+    block_cache_dir: Optional[str] = None,
 ) -> Tuple[float, np.ndarray]:
     """Ground state of a basis whose f32 neighbour table exceeds HBM.
 
@@ -572,13 +574,28 @@ def ground_state_codebook(
     # in this environment; keep them short — the per-dispatch RTT is small
     per = int(np.clip(n_chunks // super_chunks, 1, 64))
     max_err = 0.0
-    for s in range(0, n_chunks, per):
+    if block_cache_dir is not None:
+        os.makedirs(block_cache_dir, exist_ok=True)
+    for bi, s in enumerate(range(0, n_chunks, per)):
         e = min(s + per, n_chunks)
-        words, diags, err = build_super(
-            d_chunks[s:e], d_norms[s:e], states_dev, norms_dev, codebook
+        cache_file = (
+            None if block_cache_dir is None
+            else f"{block_cache_dir}/block_{bi:05d}.npz"
         )
+        if cache_file is not None and os.path.exists(cache_file):
+            data = np.load(cache_file)
+            words = jnp.asarray(data["words"])
+            diags = jnp.asarray(data["diags"])
+            err = 0.0
+        else:
+            words, diags, err = build_super(
+                d_chunks[s:e], d_norms[s:e], states_dev, norms_dev, codebook
+            )
+            err = float(err)
+            if cache_file is not None:
+                np.savez(cache_file, words=np.asarray(words), diags=np.asarray(diags))
         blocks.append((words, diags))
-        max_err = max(max_err, float(err))
+        max_err = max(max_err, err)
         logger.info(
             "packed table: {}/{} chunks ({:.0f}s), encode err {:.2e}",
             e, n_chunks, time.time() - t0, max_err,
