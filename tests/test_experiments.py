@@ -165,3 +165,15 @@ def test_overlap_integrated():
     grid, p = estimate_overlap_integrated(np.array([0.5, 0.9, 1.0, 1.0]))
     assert p[0] == 1.0
     assert p[-1] == 0.5
+
+
+def test_ed_runner_cli(ring_yaml, tmp_path):
+    from annealing_sign_problem_tpu.experiments import ed_runner
+    from annealing_sign_problem_tpu.io import load_ground_state
+
+    out = str(tmp_path / "ring.h5")
+    rc = ed_runner.main(["--yaml", ring_yaml, "--output", out, "--num-iter", "64"])
+    assert rc == 0
+    psi, energy, reps = load_ground_state(out)
+    assert len(reps) == 252  # C(10, 5)
+    assert energy < 0
