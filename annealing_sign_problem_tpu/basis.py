@@ -23,8 +23,8 @@ exactly like the reference does with ED output files (common.py:801).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 from .. import ed, scale
 from ..io import save_ground_state
 from ..utils.log import logger

@@ -24,12 +24,11 @@ from ..models import ConvSignModel, DenseSignModel
 from ..solvers import anneal
 from ..train import (
     TrainingConfig,
-    compute_metrics_on_full_space,
     find_ground_state,
     init_sign_model,
     make_optimizer,
 )
-from ..train.mcmc import local_energy, table_log_amplitude_fn
+from ..train.mcmc import local_energy
 from ..utils.log import logger
 from ..utils.metrics_writer import MetricsWriter
 from .common import add_system_arguments, load_system, resolve_ground_state

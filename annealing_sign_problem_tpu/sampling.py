@@ -14,7 +14,6 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from . import bits as _bits
 from .operator import Operator
 
 __all__ = [
