@@ -602,26 +602,33 @@ def ground_state_codebook(
         )
     if max_err > 1e-5:
         raise RuntimeError(f"codebook encoding error too large: {max_err}")
-    blocks = tuple(blocks)
+
+    # assemble the table on the HOST (device-side concatenation would
+    # transiently double 9 GB) and upload it as ONE buffer: hundreds of
+    # per-call block arguments cost ~50s of per-dispatch overhead through
+    # the relay, a single 2-argument call costs milliseconds
+    logger.info("assembling packed table on host ...")
+    words_h = np.concatenate([np.asarray(wd) for wd, _ in blocks])
+    diags_h = np.concatenate([np.asarray(dg) for _, dg in blocks])
+    del blocks
+    packed_words = jnp.asarray(words_h)
+    packed_diag = jnp.asarray(diags_h)
+    del words_h, diags_h
+    packed_words.block_until_ready()
+    logger.info("packed table resident on device ({:.2f} GB)",
+                packed_words.size * 4 / 2**30)
 
     m = min(num_iter, K)
 
     def make_phase(dt, m_phase):
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def lanczos_step(V, v, j, blocks, cb):
+        def lanczos_step(V, v, j, words, diags, cb):
             cbt = cb.astype(dt)
-            parts = []
-            offset = 0
-            for words, diags in blocks:
-                rows = words.shape[0]
-                idx = (words & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-                code = (words >> 25).astype(jnp.int32)
-                v_rows = jax.lax.dynamic_slice_in_dim(v, offset, rows)
-                parts.append(
-                    diags.astype(dt) * v_rows + jnp.sum(cbt[code] * v[idx], axis=1)
-                )
-                offset += rows
-            w = jnp.concatenate(parts)
+            idx = (words & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+            code = (words >> 25).astype(jnp.int32)
+            # decode+gather+reduce fuse into one pass — no (Kp, W) f32
+            # materialisation
+            w = diags.astype(dt) * v + jnp.sum(cbt[code] * v[idx], axis=1)
             # padded rows reference index 0 with code 0 (value 0) — inert
             alpha = jnp.vdot(v[:K], w[:K])
             w = w - alpha * v
@@ -648,7 +655,7 @@ def ground_state_codebook(
             alphas = np.zeros(m_phase)
             betas = np.zeros(m_phase)
             for j in range(m_phase):
-                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), blocks, codebook)
+                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), packed_words, packed_diag, codebook)
                 alphas[j], betas[j] = float(a_j), float(b_j)
             scale0 = max(np.abs(alphas).max(), 1e-30)
             eps_beta = 1e-6 if dt == jnp.float32 else 1e-13
