@@ -584,16 +584,20 @@ def ground_state_codebook(
         )
         if cache_file is not None and os.path.exists(cache_file):
             data = np.load(cache_file)
-            words = jnp.asarray(data["words"])
-            diags = jnp.asarray(data["diags"])
+            words = data["words"]
+            diags = data["diags"]
             err = 0.0
         else:
             words, diags, err = build_super(
                 d_chunks[s:e], d_norms[s:e], states_dev, norms_dev, codebook
             )
+            # blocks live on the HOST until final placement: keeping both
+            # the block list and the assembled buffer on device would need
+            # 2x the table memory
+            words, diags = np.asarray(words), np.asarray(diags)
             err = float(err)
             if cache_file is not None:
-                np.savez(cache_file, words=np.asarray(words), diags=np.asarray(diags))
+                np.savez(cache_file, words=words, diags=diags)
         blocks.append((words, diags))
         max_err = max(max_err, err)
         logger.info(
@@ -603,17 +607,30 @@ def ground_state_codebook(
     if max_err > 1e-5:
         raise RuntimeError(f"codebook encoding error too large: {max_err}")
 
-    # assemble the table on the HOST (device-side concatenation would
-    # transiently double 9 GB) and upload it as ONE buffer: hundreds of
-    # per-call block arguments cost ~50s of per-dispatch overhead through
-    # the relay, a single 2-argument call costs milliseconds
-    logger.info("assembling packed table on host ...")
-    words_h = np.concatenate([np.asarray(wd) for wd, _ in blocks])
-    diags_h = np.concatenate([np.asarray(dg) for _, dg in blocks])
+    # assemble the table into ONE device buffer, streamed block by block:
+    # - hundreds of per-call block arguments cost ~50s of per-dispatch
+    #   overhead through the relay, so the Lanczos step must take one buffer
+    # - a single 9 GB host->device transfer crashes the relay, so stream
+    # - device-side concatenation would transiently double the 9 GB, so
+    #   update a preallocated buffer in place (donated)
+    logger.info("assembling packed table on device ...")
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def place_block(big_w, big_d, part_w, part_d, off):
+        return (
+            jax.lax.dynamic_update_slice(big_w, part_w, (off, jnp.int32(0))),
+            jax.lax.dynamic_update_slice(big_d, part_d, (off,)),
+        )
+
+    packed_words = jnp.zeros((Kp, W - 1), dtype=jnp.uint32)
+    packed_diag = jnp.zeros((Kp,), dtype=jnp.float32)
+    off = 0
+    for wd, dg in blocks:
+        packed_words, packed_diag = place_block(
+            packed_words, packed_diag, wd, dg, jnp.int32(off)
+        )
+        off += wd.shape[0]
     del blocks
-    packed_words = jnp.asarray(words_h)
-    packed_diag = jnp.asarray(diags_h)
-    del words_h, diags_h
     packed_words.block_until_ready()
     logger.info("packed table resident on device ({:.2f} GB)",
                 packed_words.size * 4 / 2**30)
