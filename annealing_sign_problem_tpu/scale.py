@@ -527,7 +527,11 @@ def ground_state_codebook(
     codebook = jnp.asarray(values)
     logger.info("codebook: {} distinct off-diagonal values", len(values))
 
-    pad = (-K) % chunk_size
+    # pad so rows split evenly into chunks AND into the matvec row slices
+    # (the decode temp of one slice must stay small — an unsliced decode
+    # materialises a second table-sized buffer and OOMs)
+    row_slices = 32
+    pad = (-K) % (chunk_size * row_slices)
     Kp = K + pad
     states_p = np.concatenate([basis.states, np.zeros(pad, dtype=np.uint64)])
     norms_p = np.concatenate([np.sqrt(basis.norms), np.ones(pad)])
@@ -582,12 +586,17 @@ def ground_state_codebook(
             None if block_cache_dir is None
             else f"{block_cache_dir}/block_{bi:05d}.npz"
         )
+        expected_rows = (e - s) * chunk_size
         if cache_file is not None and os.path.exists(cache_file):
             data = np.load(cache_file)
             words = data["words"]
             diags = data["diags"]
             err = 0.0
+            if words.shape[0] != expected_rows:  # stale cache (padding changed)
+                words = None
         else:
+            words = None
+        if words is None:
             words, diags, err = build_super(
                 d_chunks[s:e], d_norms[s:e], states_dev, norms_dev, codebook
             )
@@ -638,15 +647,26 @@ def ground_state_codebook(
     m = min(num_iter, K)
 
     def make_phase(dt, m_phase):
+        rows = Kp // row_slices
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def lanczos_step(V, v, j, words, diags, cb):
             cbt = cb.astype(dt)
-            idx = (words & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-            code = (words >> 25).astype(jnp.int32)
-            # decode+gather+reduce fuse into one pass — no (Kp, W) f32
-            # materialisation
-            w = diags.astype(dt) * v + jnp.sum(cbt[code] * v[idx], axis=1)
-            # padded rows reference index 0 with code 0 (value 0) — inert
+            words3 = words.reshape(row_slices, rows, W - 1)
+            diags3 = diags.reshape(row_slices, rows)
+
+            def mv_slice(_, si):
+                wd = words3[si]
+                idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                code = (wd >> 25).astype(jnp.int32)
+                v_rows = jax.lax.dynamic_slice_in_dim(v, si * rows, rows)
+                return None, diags3[si].astype(dt) * v_rows + jnp.sum(
+                    cbt[code] * v[idx], axis=1
+                )
+
+            _, w_parts = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
+            w = w_parts.reshape(-1)
+            # padded rows encode the exact zero codebook entry — inert
             alpha = jnp.vdot(v[:K], w[:K])
             w = w - alpha * v
             for _ in range(2):
