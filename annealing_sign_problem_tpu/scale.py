@@ -624,14 +624,17 @@ def ground_state_codebook(
     #   update a preallocated buffer in place (donated)
     logger.info("assembling packed table on device ...")
 
+    # layout: (W-1, Kp) — rows on the (8-aligned) sublane axis, basis on
+    # lanes. The row-major (Kp, 72) layout pads 72 -> 128 lanes physically
+    # (+78% of 9 GB), which is what blew HBM.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def place_block(big_w, big_d, part_w, part_d, off):
         return (
-            jax.lax.dynamic_update_slice(big_w, part_w, (off, jnp.int32(0))),
+            jax.lax.dynamic_update_slice(big_w, part_w.T, (jnp.int32(0), off)),
             jax.lax.dynamic_update_slice(big_d, part_d, (off,)),
         )
 
-    packed_words = jnp.zeros((Kp, W - 1), dtype=jnp.uint32)
+    packed_words = jnp.zeros((W - 1, Kp), dtype=jnp.uint32)
     packed_diag = jnp.zeros((Kp,), dtype=jnp.float32)
     off = 0
     for wd, dg in blocks:
@@ -652,16 +655,16 @@ def ground_state_codebook(
         @functools.partial(jax.jit, donate_argnums=(0,))
         def lanczos_step(V, v, j, words, diags, cb):
             cbt = cb.astype(dt)
-            words3 = words.reshape(row_slices, rows, W - 1)
+            words3 = words.reshape(W - 1, row_slices, rows)
             diags3 = diags.reshape(row_slices, rows)
 
             def mv_slice(_, si):
-                wd = words3[si]
+                wd = words3[:, si]  # (W-1, rows)
                 idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
                 code = (wd >> 25).astype(jnp.int32)
                 v_rows = jax.lax.dynamic_slice_in_dim(v, si * rows, rows)
                 return None, diags3[si].astype(dt) * v_rows + jnp.sum(
-                    cbt[code] * v[idx], axis=1
+                    cbt[code] * v[idx], axis=0
                 )
 
             _, w_parts = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
