@@ -624,17 +624,31 @@ def ground_state_codebook(
     #   update a preallocated buffer in place (donated)
     logger.info("assembling packed table on device ...")
 
-    # layout: (W-1, Kp) — rows on the (8-aligned) sublane axis, basis on
-    # lanes. The row-major (Kp, 72) layout pads 72 -> 128 lanes physically
-    # (+78% of 9 GB), which is what blew HBM.
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def place_block(big_w, big_d, part_w, part_d, off):
-        return (
-            jax.lax.dynamic_update_slice(big_w, part_w.T, (jnp.int32(0), off)),
-            jax.lax.dynamic_update_slice(big_d, part_d, (off,)),
-        )
+    # layout: a few (w_span, Kp) buffers —
+    # - rows on the (8-aligned) sublane axis, basis on lanes: the row-major
+    #   (Kp, 72) layout pads 72 -> 128 lanes physically (+78% of 9 GB)
+    # - each buffer stays under 2^31 elements (XLA's single-buffer index
+    #   arithmetic limit; the compiler subprocess crashes beyond it)
+    max_elems = (1 << 31) - (1 << 24)
+    rows_per_split = max(int(max_elems // Kp), 1)
+    split_starts = list(range(0, W - 1, rows_per_split))
+    split_spans = [min(rows_per_split, W - 1 - s) for s in split_starts]
 
-    packed_words = jnp.zeros((W - 1, Kp), dtype=jnp.uint32)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def place_block(big_ws, big_d, part_w, part_d, off):
+        part_t = part_w.T
+        new_ws = tuple(
+            jax.lax.dynamic_update_slice(
+                bw, jax.lax.dynamic_slice_in_dim(part_t, s, span, axis=0),
+                (jnp.int32(0), off),
+            )
+            for bw, s, span in zip(big_ws, split_starts, split_spans)
+        )
+        return new_ws, jax.lax.dynamic_update_slice(big_d, part_d, (off,))
+
+    packed_words = tuple(
+        jnp.zeros((span, Kp), dtype=jnp.uint32) for span in split_spans
+    )
     packed_diag = jnp.zeros((Kp,), dtype=jnp.float32)
     off = 0
     for wd, dg in blocks:
@@ -643,9 +657,11 @@ def ground_state_codebook(
         )
         off += wd.shape[0]
     del blocks
-    packed_words.block_until_ready()
-    logger.info("packed table resident on device ({:.2f} GB)",
-                packed_words.size * 4 / 2**30)
+    packed_words[0].block_until_ready()
+    logger.info(
+        "packed table resident on device ({:.2f} GB in {} buffers)",
+        sum(p.size for p in packed_words) * 4 / 2**30, len(packed_words),
+    )
 
     m = min(num_iter, K)
 
@@ -653,19 +669,23 @@ def ground_state_codebook(
         rows = Kp // row_slices
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def lanczos_step(V, v, j, words, diags, cb):
+        def lanczos_step(V, v, j, words_tuple, diags, cb):
             cbt = cb.astype(dt)
-            words3 = words.reshape(W - 1, row_slices, rows)
+            words3 = tuple(
+                wbuf.reshape(wbuf.shape[0], row_slices, rows)
+                for wbuf in words_tuple
+            )
             diags3 = diags.reshape(row_slices, rows)
 
             def mv_slice(_, si):
-                wd = words3[:, si]  # (W-1, rows)
-                idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-                code = (wd >> 25).astype(jnp.int32)
                 v_rows = jax.lax.dynamic_slice_in_dim(v, si * rows, rows)
-                return None, diags3[si].astype(dt) * v_rows + jnp.sum(
-                    cbt[code] * v[idx], axis=0
-                )
+                acc = diags3[si].astype(dt) * v_rows
+                for wbuf in words3:
+                    wd = wbuf[:, si]  # (span, rows)
+                    idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                    code = (wd >> 25).astype(jnp.int32)
+                    acc = acc + jnp.sum(cbt[code] * v[idx], axis=0)
+                return None, acc
 
             _, w_parts = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
             w = w_parts.reshape(-1)
