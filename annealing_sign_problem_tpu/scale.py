@@ -668,27 +668,30 @@ def ground_state_codebook(
     def make_phase(dt, m_phase):
         rows = Kp // row_slices
 
+        # one program per table buffer: the remote compiler falls over when
+        # a single program's argument footprint approaches HBM size, so the
+        # matvec is split into one dispatch per sub-2^31-element buffer
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def lanczos_step(V, v, j, words_tuple, diags, cb):
+        def mv_pass(acc, wbuf, v, cb):
             cbt = cb.astype(dt)
-            words3 = tuple(
-                wbuf.reshape(wbuf.shape[0], row_slices, rows)
-                for wbuf in words_tuple
-            )
-            diags3 = diags.reshape(row_slices, rows)
+            span = wbuf.shape[0]
+            w3 = wbuf.reshape(span, row_slices, rows)
 
             def mv_slice(_, si):
-                v_rows = jax.lax.dynamic_slice_in_dim(v, si * rows, rows)
-                acc = diags3[si].astype(dt) * v_rows
-                for wbuf in words3:
-                    wd = wbuf[:, si]  # (span, rows)
-                    idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-                    code = (wd >> 25).astype(jnp.int32)
-                    acc = acc + jnp.sum(cbt[code] * v[idx], axis=0)
-                return None, acc
+                wd = w3[:, si]
+                idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                code = (wd >> 25).astype(jnp.int32)
+                return None, jnp.sum(cbt[code] * v[idx], axis=0)
 
-            _, w_parts = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
-            w = w_parts.reshape(-1)
+            _, p = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
+            return acc + p.reshape(-1)
+
+        @jax.jit
+        def mv_start(diags, v):
+            return diags.astype(dt) * v
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def lanczos_update(V, v, w, j):
             # padded rows encode the exact zero codebook entry — inert
             alpha = jnp.vdot(v[:K], w[:K])
             w = w - alpha * v
@@ -704,6 +707,12 @@ def ground_state_codebook(
             x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
             return x / jnp.linalg.norm(x)
 
+        def lanczos_step(V, v, j):
+            w = mv_start(packed_diag, v)
+            for wbuf in packed_words:
+                w = mv_pass(w, wbuf, v, codebook)
+            return lanczos_update(V, v, w, j)
+
         return lanczos_step, ritz
 
     def run_phase(v, dt, n_restarts, m_phase, theta):
@@ -715,7 +724,7 @@ def ground_state_codebook(
             alphas = np.zeros(m_phase)
             betas = np.zeros(m_phase)
             for j in range(m_phase):
-                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), packed_words, packed_diag, codebook)
+                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j))
                 alphas[j], betas[j] = float(a_j), float(b_j)
             scale0 = max(np.abs(alphas).max(), 1e-30)
             eps_beta = 1e-6 if dt == jnp.float32 else 1e-13
