@@ -629,7 +629,10 @@ def ground_state_codebook(
     #   (Kp, 72) layout pads 72 -> 128 lanes physically (+78% of 9 GB)
     # - each buffer stays under 2^31 elements (XLA's single-buffer index
     #   arithmetic limit; the compiler subprocess crashes beyond it)
-    max_elems = (1 << 31) - (1 << 24)
+    # each buffer must stay under 2^31 elements AND its per-dispatch program
+    # footprint (buffer + vectors) under ~3.5 GB — the remote compile helper
+    # crashes on larger programs
+    max_elems = min((1 << 31) - (1 << 24), (3 << 30) // 4)
     rows_per_split = max(int(max_elems // Kp), 1)
     split_starts = list(range(0, W - 1, rows_per_split))
     split_spans = [min(rows_per_split, W - 1 - s) for s in split_starts]
