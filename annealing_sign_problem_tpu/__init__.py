@@ -58,6 +58,8 @@ from .sampling import (
 from .noise import add_noise_to_amplitudes, amplitude_overlap
 from .amplitudes import ground_state_to_log_coeff_fn, determine_exact_solution
 from .solvers import anneal, greedy_solve, solve_ising_model
+from .graph import AlmostInfiniteGraph
 from . import ed
+from . import systems
 
 __version__ = "0.1.0"
