@@ -100,42 +100,57 @@ def anneal_sharded(
     return _unpack_words(np.asarray(best_words), K), np.asarray(bestE)
 
 
-def train_step_data_parallel(state, spins, labels, weights, mesh: Mesh):
-    """One data-parallel supervised step: batch axis sharded over the mesh,
-    gradients averaged by GSPMD (psum over ICI). Returns (state, loss)."""
+_DP_STEP_CACHE: dict = {}
+
+
+def _dp_step_fn(apply_fn, tx, mesh: Mesh):
+    """Compiled data-parallel step, cached per (apply_fn, tx, mesh) so a
+    training loop compiles ONCE and reuses the executable every step (the
+    round-1 version rebuilt the jit closure per call, recompiling each
+    step, and updated the optimiser un-jitted on the host)."""
+    key = (apply_fn, tx, mesh)
+    fn = _DP_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
     from ..train.supervised import _loss_fn
+
+    import optax
 
     axis = mesh.axis_names[0]
     batch_sharded = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    apply_fn, tx = state.apply_fn, state.tx
-
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, repl, batch_sharded, batch_sharded, batch_sharded),
+        in_shardings=(repl, repl, repl, batch_sharded, batch_sharded, batch_sharded),
         out_shardings=None,
     )
-    def step(params, batch_stats, bspins, blabels, bw):
+    def step(params, batch_stats, opt_state, bspins, blabels, bw):
         (loss, (acc, new_stats)), grads = jax.value_and_grad(
             lambda p: _loss_fn(apply_fn, p, batch_stats, bspins, blabels, bw, True),
             has_aux=True,
         )(params)
-        return loss, grads, new_stats
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss
 
-    loss, grads, new_stats = step(
+    _DP_STEP_CACHE[key] = step
+    return step
+
+
+def train_step_data_parallel(state, spins, labels, weights, mesh: Mesh):
+    """One data-parallel supervised step: batch axis sharded over the mesh,
+    gradients averaged by GSPMD (psum over ICI), optimiser update jitted
+    on device. Returns (state, loss)."""
+    step = _dp_step_fn(state.apply_fn, state.tx, mesh)
+    state.params, state.batch_stats, state.opt_state, loss = step(
         state.params,
         state.batch_stats,
+        state.opt_state,
         jnp.asarray(np.asarray(spins, dtype=np.uint64)),
         jnp.asarray(np.asarray(labels, dtype=np.int32)),
         jnp.asarray(np.asarray(weights, dtype=np.float32)),
     )
-    import optax
-
-    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-    state.params = optax.apply_updates(state.params, updates)
-    state.batch_stats = new_stats
-    state.opt_state = new_opt
     return state, float(loss)
 
 
