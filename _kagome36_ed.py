@@ -12,9 +12,10 @@ scale.build_basis_at_scale(
 )
 op = operator_from_config(systems.get_system("heisenberg_kagome_36"), basis)
 energy, psi = scale.ground_state_codebook(
-    op, num_iter=24, restarts=10, chunk_size=2048, super_chunks=256,
-    polish_restarts=1, polish_iter=10,
+    op, num_iter=24, restarts=80, chunk_size=2048, super_chunks=256,
+    polish_restarts=3, polish_iter=12, thick=8, tol=1e-10,
     block_cache_dir="/root/k36_blocks",
+    checkpoint_path="/root/k36_ckpt.npz",
 )
 print(f"kagome-36: E0 = {energy} (reference: -63.12622047596263) "
       f"total {time.time()-t0:.0f}s", flush=True)

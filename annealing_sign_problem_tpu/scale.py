@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .basis import SpinBasis, enumerate_fixed_hamming
+from .lanczos import LanczosCallbacks, thick_restart_lanczos
 from .operator import Operator
 from .utils.log import logger
 
@@ -171,6 +172,8 @@ def ground_state_large(
     ell_budget_bytes: int = 6 << 30,
     polish_restarts: int = 2,
     polish_dtype=jnp.float64,
+    thick: int = 6,
+    checkpoint_path: Optional[str] = None,
 ) -> Tuple[float, np.ndarray]:
     """Restarted Lanczos with an on-the-fly symmetrised matvec.
 
@@ -181,8 +184,6 @@ def ground_state_large(
     sign/amplitude oracle reaches reference (f64) quality. Returns
     (energy, float64-normalised eigenvector on host).
     """
-    import scipy.linalg
-
     basis = operator.basis
     K = basis.number_states
     W = operator.max_neighbours
@@ -243,8 +244,8 @@ def ground_state_large(
         ell_idx.block_until_ready()
         logger.info("neighbour table ready")
 
-    def make_phase(dt):
-        """jitted Lanczos step + Ritz assembly for one working dtype.
+    def make_callbacks(dt):
+        """jitted Lanczos step + restart transform for one working dtype.
 
         Large tables are passed as jit *arguments* — closing over them
         would embed 100s of MB of constants in the HLO and overflow the
@@ -286,63 +287,35 @@ def ground_state_large(
             return V, v_next, alpha, beta
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def ritz_vector(V, s):
-            x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
-            return x / jnp.linalg.norm(x)
+        def restart(V, S):
+            Y = jnp.einsum("mi,mk->ik", jnp.asarray(S, dtype=V.dtype), V)
+            Y = Y / jnp.linalg.norm(Y, axis=1, keepdims=True)
+            return jnp.zeros_like(V).at[: Y.shape[0]].set(Y)
 
-        return big, lanczos_step, ritz_vector
-
-    def run_phase(v, dt, n_restarts, theta):
-        big, lanczos_step, ritz_vector = make_phase(dt)
-        x = v
-        for r in range(n_restarts):
-            t0 = time.time()
-            V = jnp.zeros((m, K), dtype=dt)
-            alphas = np.zeros(m)
-            betas = np.zeros(m)
-            for j in range(m):
-                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), big)
-                alphas[j], betas[j] = float(a_j), float(b_j)
-            # truncate at the first (near-)breakdown: once beta underflows
-            # the working precision the Krylov space is exhausted and later
-            # alphas/betas are noise (classic f32 Lanczos failure — a
-            # spurious huge eigenvalue appears without this guard)
-            scale0 = max(np.abs(alphas).max(), 1e-30)
-            eps_beta = 1e-6 if dt == jnp.float32 else 1e-13
-            cut = np.nonzero(betas[:-1] < eps_beta * scale0)[0]
-            mj = int(cut[0]) + 1 if len(cut) else m
-            evals, evecs = scipy.linalg.eigh_tridiagonal(
-                alphas[:mj], betas[: mj - 1], select="i", select_range=(0, 0)
-            )
-            theta_new = float(evals[0])
-            s = np.zeros(m)
-            s[:mj] = evecs[:, 0]
-            x = ritz_vector(V, s)
-            logger.info(
-                "Lanczos restart {} ({}): E = {:.12f} ({:.0f}s)",
-                r, np.dtype(dt).name, theta_new, time.time() - t0,
-            )
-            converged = abs(theta_new - theta) < tol * max(1.0, abs(theta_new))
-            theta = theta_new
-            v = x
-            if converged or mj < m:
-                break
-        return theta, x
+        return LanczosCallbacks(
+            step=lambda V, v, j: lanczos_step(V, v, jnp.uint32(j), big),
+            restart=restart,
+            row0_host=lambda V: np.asarray(V[0], dtype=np.float64),
+            new_basis=lambda: jnp.zeros((m, K), dtype=dt),
+            to_device=lambda x: jnp.asarray(x / np.linalg.norm(x), dtype=dt),
+        )
 
     rng = np.random.RandomState(seed)
     v = rng.standard_normal(K)
     v /= np.linalg.norm(v)
 
-    theta, x = run_phase(jnp.asarray(v, dtype=dtype), dtype, restarts, np.inf)
+    cb = make_callbacks(dtype)
+    theta, x = thick_restart_lanczos(
+        cb, cb.to_device(v), m, restarts, tol=tol, thick=thick,
+        checkpoint_path=checkpoint_path, name="large f32",
+    )
     if polish_restarts > 0 and np.dtype(polish_dtype) != np.dtype(dtype):
-        theta, x = run_phase(
-            jnp.asarray(x, dtype=polish_dtype), polish_dtype, polish_restarts, theta
+        cb64 = make_callbacks(polish_dtype)
+        ckpt64 = None if checkpoint_path is None else checkpoint_path + ".f64.npz"
+        theta, x = thick_restart_lanczos(
+            cb64, cb64.to_device(x), m, polish_restarts, tol=tol, thick=thick,
+            checkpoint_path=ckpt64, name="large f64", theta0=theta,
         )
-
-    x = np.array(x, dtype=np.float64)
-    x /= np.linalg.norm(x)
-    if x[np.argmax(np.abs(x))] < 0:
-        x = -x
     return theta, x
 
 
@@ -369,7 +342,6 @@ def ground_state_sharded(
     and GSPMD inserts the all-gather of x for the neighbour gather plus
     psums for the inner products.
     """
-    import scipy.linalg
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     basis = operator.basis
@@ -429,54 +401,31 @@ def ground_state_sharded(
         V = V.at[j].set(v)
         return V, v_next, alpha, beta
 
-    @jax.jit
-    def ritz_vector(V, s):
-        x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
-        return x / jnp.linalg.norm(x[:K])
+    @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=cols2d)
+    def restart_transform(V, S):
+        Y = jnp.einsum("mi,mk->ik", jnp.asarray(S, dtype=V.dtype), V)
+        Y = Y / jnp.linalg.norm(Y, axis=1, keepdims=True)
+        return jnp.zeros_like(V).at[: Y.shape[0]].set(Y)
 
-    import scipy.linalg
+    def to_device(x_host):
+        xp = np.zeros(Kp)
+        xp[:K] = x_host[:K] / np.linalg.norm(x_host[:K])
+        return jax.device_put(jnp.asarray(xp, dtype=dtype), rows)
+
+    cb = LanczosCallbacks(
+        step=lambda V, v, j: lanczos_step(V, v, jnp.uint32(j), ell_idx, ell_val),
+        restart=restart_transform,
+        row0_host=lambda V: np.asarray(V[0][:K], dtype=np.float64),
+        new_basis=lambda: jax.device_put(jnp.zeros((m, Kp), dtype=dtype), cols2d),
+        to_device=to_device,
+    )
 
     rng = np.random.RandomState(seed)
     v0 = np.zeros(Kp)
     v0[:K] = rng.standard_normal(K)
-    v0[:K] /= np.linalg.norm(v0[:K])
-    v = jax.device_put(jnp.asarray(v0, dtype=dtype), rows)
-
-    theta, x = np.inf, None
-    for r in range(restarts):
-        t0 = time.time()
-        V = jax.device_put(jnp.zeros((m, Kp), dtype=dtype), cols2d)
-        alphas = np.zeros(m)
-        betas = np.zeros(m)
-        for j in range(m):
-            V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j), ell_idx, ell_val)
-            alphas[j], betas[j] = float(a_j), float(b_j)
-        scale0 = max(np.abs(alphas).max(), 1e-30)
-        eps_beta = 1e-6 if dtype == jnp.float32 else 1e-13
-        cut = np.nonzero(betas[:-1] < eps_beta * scale0)[0]
-        mj = int(cut[0]) + 1 if len(cut) else m
-        evals, evecs = scipy.linalg.eigh_tridiagonal(
-            alphas[:mj], betas[: mj - 1], select="i", select_range=(0, 0)
-        )
-        theta_new = float(evals[0])
-        s = np.zeros(m)
-        s[:mj] = evecs[:, 0]
-        x = ritz_vector(V, jnp.asarray(s))
-        logger.info(
-            "sharded Lanczos restart {}: E = {:.12f} ({:.0f}s)",
-            r, theta_new, time.time() - t0,
-        )
-        converged = abs(theta_new - theta) < tol * max(1.0, abs(theta_new))
-        theta = theta_new
-        v = x
-        if converged or mj < m:
-            break
-
-    x = np.array(x, dtype=np.float64)[:K]
-    x /= np.linalg.norm(x)
-    if x[np.argmax(np.abs(x))] < 0:
-        x = -x
-    return theta, x
+    return thick_restart_lanczos(
+        cb, to_device(v0), m, restarts, tol=tol, thick=6, name="sharded",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +444,8 @@ def ground_state_codebook(
     polish_restarts: int = 1,
     polish_iter: int = 12,
     block_cache_dir: Optional[str] = None,
+    thick: int = 6,
+    checkpoint_path: Optional[str] = None,
 ) -> Tuple[float, np.ndarray]:
     """Ground state of a basis whose f32 neighbour table exceeds HBM.
 
@@ -505,8 +456,6 @@ def ground_state_codebook(
     codebook id. The kagome-36 table shrinks from 18 GB to 9.1 GB and fits
     a single chip; the diagonal is stored densely (one entry per row).
     """
-    import scipy.linalg
-
     basis = operator.basis
     K = basis.number_states
     W = operator.max_neighbours
@@ -668,7 +617,7 @@ def ground_state_codebook(
 
     m = min(num_iter, K)
 
-    def make_phase(dt, m_phase):
+    def make_callbacks(dt, m_phase):
         rows = Kp // row_slices
 
         # one program per table buffer: the remote compiler falls over when
@@ -705,66 +654,50 @@ def ground_state_codebook(
             V = V.at[j].set(v)
             return V, v_next, alpha, beta
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def ritz(V, s):
-            x = jnp.einsum("mk,m->k", V, jnp.asarray(s, dtype=V.dtype))
-            return x / jnp.linalg.norm(x)
-
-        def lanczos_step(V, v, j):
+        def step(V, v, j):
             w = mv_start(packed_diag, v)
             for wbuf in packed_words:
                 w = mv_pass(w, wbuf, v, codebook)
-            return lanczos_update(V, v, w, j)
+            return lanczos_update(V, v, w, jnp.uint32(j))
 
-        return lanczos_step, ritz
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def restart(V, S):
+            Y = jnp.einsum("mi,mk->ik", jnp.asarray(S, dtype=V.dtype), V)
+            Y = Y / jnp.linalg.norm(Y, axis=1, keepdims=True)
+            return jnp.zeros_like(V).at[: Y.shape[0]].set(Y)
 
-    def run_phase(v, dt, n_restarts, m_phase, theta):
-        lanczos_step, ritz = make_phase(dt, m_phase)
-        x = v
-        for r in range(n_restarts):
-            t0 = time.time()
-            V = jnp.zeros((m_phase, Kp), dtype=dt)
-            alphas = np.zeros(m_phase)
-            betas = np.zeros(m_phase)
-            for j in range(m_phase):
-                V, v, a_j, b_j = lanczos_step(V, v, jnp.uint32(j))
-                alphas[j], betas[j] = float(a_j), float(b_j)
-            scale0 = max(np.abs(alphas).max(), 1e-30)
-            eps_beta = 1e-6 if dt == jnp.float32 else 1e-13
-            cut = np.nonzero(betas[:-1] < eps_beta * scale0)[0]
-            mj = int(cut[0]) + 1 if len(cut) else m_phase
-            evals, evecs = scipy.linalg.eigh_tridiagonal(
-                alphas[:mj], betas[: mj - 1], select="i", select_range=(0, 0)
-            )
-            theta_new = float(evals[0])
-            s = np.zeros(m_phase)
-            s[:mj] = evecs[:, 0]
-            x = ritz(V, s)
-            logger.info(
-                "codebook Lanczos restart {} ({}): E = {:.12f} ({:.0f}s)",
-                r, np.dtype(dt).name, theta_new, time.time() - t0,
-            )
-            converged = abs(theta_new - theta) < tol * max(1.0, abs(theta_new))
-            theta = theta_new
-            v = x
-            if converged or mj < m_phase:
-                break
-        return theta, x
+        def to_device(x_host):
+            xp = np.zeros(Kp)
+            xp[:K] = x_host[:K]
+            return jnp.asarray(xp, dtype=dt)
+
+        return LanczosCallbacks(
+            step=step,
+            restart=restart,
+            row0_host=lambda V: np.asarray(V[0][:K], dtype=np.float64),
+            new_basis=lambda: jnp.zeros((m_phase, Kp), dtype=dt),
+            to_device=to_device,
+        )
 
     rng = np.random.RandomState(seed)
     v0 = np.zeros(Kp)
     v0[:K] = rng.standard_normal(K)
     v0 /= np.linalg.norm(v0)
 
-    theta, x = run_phase(jnp.asarray(v0, dtype=jnp.float32), jnp.float32, restarts, m, np.inf)
+    cb32 = make_callbacks(jnp.float32, m)
+    theta, x = thick_restart_lanczos(
+        cb32, cb32.to_device(v0), m, restarts, tol=tol, thick=thick,
+        checkpoint_path=checkpoint_path, name="codebook f32",
+    )
     if polish_restarts > 0:
-        theta, x = run_phase(
-            jnp.asarray(x, dtype=jnp.float64), jnp.float64, polish_restarts,
-            min(polish_iter, m), theta,
+        m64 = min(polish_iter, m)
+        cb64 = make_callbacks(jnp.float64, m64)
+        ckpt64 = None if checkpoint_path is None else checkpoint_path + ".f64.npz"
+        # small thick block in f64: the restart transform's Ritz temp is
+        # (k, Kp) f64 next to the resident table — keep it ~1 GB
+        theta, x = thick_restart_lanczos(
+            cb64, cb64.to_device(x), m64, polish_restarts, tol=tol,
+            thick=min(thick, 4, m64 - 2), checkpoint_path=ckpt64,
+            name="codebook f64", theta0=theta,
         )
-
-    x = np.array(x, dtype=np.float64)[:K]
-    x /= np.linalg.norm(x)
-    if x[np.argmax(np.abs(x))] < 0:
-        x = -x
     return theta, x
