@@ -27,6 +27,7 @@ __all__ = [
     "pack",
     "popcount",
     "signs_to_bits",
+    "signs_to_bits_batched",
     "bits_to_signs",
     "spins_to_array",
 ]
@@ -100,6 +101,18 @@ def signs_to_bits(signs) -> np.ndarray:
     words = padded.reshape(num_words, 64)
     shifts = np.arange(64, dtype=np.uint64)
     return (words << shifts).sum(axis=1).astype(np.uint64)
+
+
+def signs_to_bits_batched(signs: np.ndarray) -> np.ndarray:
+    """Pack a (R, n) ±1 matrix into (R, ceil(n/64)) uint64 words — one
+    vectorised pass instead of a Python loop over replicas."""
+    signs = np.asarray(signs)
+    R, n = signs.shape
+    num_words = (n + 63) // 64
+    padded = np.zeros((R, num_words * 64), dtype=np.uint64)
+    padded[:, :n] = (signs > 0).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)[None, None, :]
+    return (padded.reshape(R, num_words, 64) << shifts).sum(axis=2).astype(np.uint64)
 
 
 def bits_to_signs(bits, count: int) -> np.ndarray:

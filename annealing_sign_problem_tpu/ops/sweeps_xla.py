@@ -53,6 +53,20 @@ class ColorPlan:
     def block_size(self) -> int:
         return self.block_spins.shape[1]
 
+    def device_arrays(self):
+        """Device-resident (block_spins, neighbours, couplings f32,
+        field f32), uploaded once per plan and reused across anneals."""
+        cached = getattr(self, "_device", None)
+        if cached is None:
+            cached = (
+                jnp.asarray(self.block_spins),
+                jnp.asarray(self.neighbours),
+                jnp.asarray(self.couplings, dtype=jnp.float32),
+                jnp.asarray(self.field, dtype=jnp.float32),
+            )
+            object.__setattr__(self, "_device", cached)
+        return cached
+
 
 def make_color_plan(
     hamiltonian, block_size: int = 512, colors: Optional[np.ndarray] = None
@@ -105,62 +119,70 @@ def make_color_plan(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_spins", "dtype"))
+def _sparse_init(
+    block_spins, neighbours, couplings, field, init_words, num_spins: int, dtype
+):
+    """Unpack the packed upload into the (K+1, R) working state and compute
+    exact initial energies block-by-block (bounded working set):
+    E = sum_i s_i * (sum_j J_ij s_j + h_i) with both triangles stored."""
+    NB, M = block_spins.shape
+    W, R = init_words.shape
+    K = num_spins
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    bits = ((init_words[:, None, :] >> shifts) & 1).reshape(W * 32, R)[:K]
+    signs0 = jnp.zeros((K + 1, R), dtype=dtype)
+    signs0 = signs0.at[:K].set((2 * bits.astype(jnp.int32) - 1).astype(dtype))
+
+    def energy_block(E, b):
+        ids = block_spins[b]
+        nbr_ids = neighbours[ids].reshape(-1)
+        Sn = signs0[nbr_ids].reshape(M, -1, R).astype(jnp.float32)
+        local = jnp.einsum("mdr,md->mr", Sn, couplings[ids])
+        contrib = signs0[ids].astype(jnp.float32) * (local + field[ids][:, None])
+        return E + jnp.sum(contrib, axis=0, dtype=jnp.float64), None
+
+    E0, _ = jax.lax.scan(energy_block, jnp.zeros(R, dtype=jnp.float64), jnp.arange(NB))
+    return signs0, E0
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_spins", "num_sweeps", "track_trace", "dtype"),
+    static_argnames=("num_sweeps", "track_trace"),
 )
-def _anneal_kernel(
+def _sparse_chunk(
     block_spins: jax.Array,  # (NB, M) int32
     neighbours: jax.Array,  # (K+1, D) int32
     couplings: jax.Array,  # (K+1, D) f32
     field: jax.Array,  # (K+1,) f32
-    init_words: jax.Array,  # (W, R) uint32 packed initial signs
-    betas: jax.Array,  # (T,) f32
+    S: jax.Array,  # (K+1, R) ±1, carried on device between chunks
+    E: jax.Array,  # (R,) f64
+    bestS: jax.Array,
+    bestE: jax.Array,
+    betas: jax.Array,  # (num_sweeps,) f32
     seed: jax.Array,  # () uint32
-    num_spins: int,
+    step0: jax.Array,  # () int32 — global step offset for the PRNG stream
     num_sweeps: int,
     track_trace: bool,
-    dtype=jnp.float32,
 ):
     NB, M = block_spins.shape
-    W, R = init_words.shape
-    K = num_spins
-    Kp1 = K + 1
-
-    # unpack the (tiny) packed upload into the (K+1, R) working state
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
-    bits = ((init_words[:, None, :] >> shifts) & 1).reshape(W * 32, R)[:K]
-    signs0 = jnp.zeros((Kp1, R), dtype=dtype)
-    signs0 = signs0.at[:K].set((2 * bits.astype(jnp.int32) - 1).astype(dtype))
-
+    R = S.shape[1]
     base_key = jax.random.PRNGKey(seed)
-
-    # exact initial energies, computed on device block-by-block so the
-    # (block, degree, replica) working set stays bounded:
-    # E = sum_i s_i * (sum_j J_ij s_j + h_i) with both triangles stored.
-    def energy_block(E, b):
-        ids = block_spins[b]
-        nbr_ids = neighbours[ids].reshape(-1)
-        Sn = signs0[nbr_ids].reshape(M, -1, R)
-        local = jnp.einsum("mdr,md->mr", Sn, couplings[ids])
-        contrib = signs0[ids] * (local + field[ids][:, None])
-        return E + jnp.sum(contrib, axis=0, dtype=jnp.float64), None
-
-    E0, _ = jax.lax.scan(energy_block, jnp.zeros(R, dtype=jnp.float64), jnp.arange(NB))
 
     def block_step(carry, inputs):
         S, E = carry
         beta, step_index = inputs
         ids = block_spins[step_index % NB]  # (M,)
         nbr_ids = neighbours[ids].reshape(-1)  # (M*D,)
-        Sn = S[nbr_ids].reshape(M, -1, R)  # (M, D, R)
+        # the gather is the HBM-bound hot spot: bf16 state halves its traffic
+        Sn = S[nbr_ids].reshape(M, -1, R).astype(jnp.float32)  # (M, D, R)
         w = couplings[ids]  # (M, D)
         local = jnp.einsum("mdr,md->mr", Sn, w)  # (M, R)
         s_cur = S[ids]  # (M, R)
-        delta = -2.0 * s_cur * (2.0 * local + field[ids][:, None])
+        delta = -2.0 * s_cur.astype(jnp.float32) * (2.0 * local + field[ids][:, None])
         key = jax.random.fold_in(base_key, step_index)
         u = jax.random.uniform(key, (M, R), dtype=jnp.float32)
-        accept = (delta <= 0) | (u < jnp.exp(-beta * delta.astype(jnp.float32)))
+        accept = (delta <= 0) | (u < jnp.exp(-beta * delta))
         S = S.at[ids].set(jnp.where(accept, -s_cur, s_cur))
         # energy bookkeeping in f64: tiny (R,) arrays, keeps the best-state
         # selection honest over hundreds of thousands of sweeps
@@ -170,7 +192,7 @@ def _anneal_kernel(
     def sweep(carry, inputs):
         S, E, bestS, bestE = carry
         beta, sweep_index = inputs
-        steps = sweep_index * NB + jnp.arange(NB)
+        steps = step0 + sweep_index * NB + jnp.arange(NB)
         (S, E), _ = jax.lax.scan(
             block_step, (S, E), (jnp.full(NB, beta), steps)
         )
@@ -180,24 +202,30 @@ def _anneal_kernel(
         out = (E, bestE) if track_trace else None
         return (S, E, bestS, bestE), out
 
-    carry0 = (signs0, E0, signs0, E0)
     (S, E, bestS, bestE), trace = jax.lax.scan(
-        sweep, carry0, (betas, jnp.arange(num_sweeps))
+        sweep, (S, E, bestS, bestE), (betas, jnp.arange(num_sweeps))
     )
+    return S, E, bestS, bestE, trace
 
-    # pack signs to bit words on device: transfers back to the host shrink
-    # 32x (the tunnel to the TPU is the slow path, not the kernel)
-    def pack_bits(S):
-        K = Kp1 - 1
-        W = (K + 31) // 32
-        padded = jnp.zeros((W * 32, R), dtype=jnp.uint32)
-        padded = padded.at[:K].set((S[:K] > 0).astype(jnp.uint32))
-        shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
-        return jnp.sum(
-            padded.reshape(W, 32, R) << shifts, axis=1, dtype=jnp.uint32
-        )  # (W, R)
 
-    return pack_bits(S), E, pack_bits(bestS), bestE, trace
+@jax.jit
+def _pack_device(S: jax.Array) -> jax.Array:
+    """(K+1, R) ±1 -> (W, R) packed uint32 on device: transfers back to the
+    host shrink 32x (the tunnel to the TPU is the slow path)."""
+    Kp1, R = S.shape
+    K = Kp1 - 1
+    W = (K + 31) // 32
+    padded = jnp.zeros((W * 32, R), dtype=jnp.uint32)
+    padded = padded.at[:K].set((S[:K] > 0).astype(jnp.uint32))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    return jnp.sum(padded.reshape(W, 32, R) << shifts, axis=1, dtype=jnp.uint32)
+
+
+@jax.jit
+def _pack_two(S: jax.Array, bestS: jax.Array) -> jax.Array:
+    """Pack final and best states in one dispatch (the relay charges a
+    round-trip per dispatch, so fewer, fatter calls win)."""
+    return jnp.stack([_pack_device(S), _pack_device(bestS)])
 
 
 def _unpack_words(words: np.ndarray, K: int) -> np.ndarray:
@@ -224,38 +252,77 @@ def run_annealing(
     x0_signs: np.ndarray,  # (R, K) ±1
     betas: np.ndarray,  # (T,)
     seed: int,
-    dtype=jnp.float32,
+    dtype=jnp.bfloat16,
     track_trace: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, Optional[tuple]]:
-    """Run T sweeps of replica-parallel annealing.
+    sweeps_per_chunk: Optional[int] = None,
+    need_final: bool = True,
+) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray, np.ndarray, Optional[tuple]]:
+    """Run T sweeps of replica-parallel annealing, chunked into bounded
+    dispatches with the replica state held on device between chunks.
 
-    Returns (final signs (R, K), final energies (R,), best signs (R, K),
-    best energies (R,), optional (current, best) energy traces (T, R)).
+    Returns (final signs (R, K) or None, final energies (R,), best signs
+    (R, K), best energies (R,), optional (current, best) energy traces
+    (T, R)). ``need_final=False`` skips the final-state download.
     All device traffic is bit-packed (W uint32 words per replica), so the
     host<->device path moves K*R/32 words instead of K*R floats.
     """
     R, K = x0_signs.shape
     assert K == plan.num_spins
+    T = len(betas)
+    if sweeps_per_chunk is None:
+        # target ~4s of device time per dispatch; the gather engine moves
+        # ~K*D*R*itemsize bytes per sweep at a few hundred GB/s effective
+        flips_per_sweep = float(K) * R
+        sweeps_per_chunk = int(min(max(4.0 * 1.5e9 / flips_per_sweep, 16), 8192))
 
-    S_words, E, best_words, bestE, trace = _anneal_kernel(
-        jnp.asarray(plan.block_spins),
-        jnp.asarray(plan.neighbours),
-        jnp.asarray(plan.couplings, dtype=dtype),
-        jnp.asarray(plan.field, dtype=dtype),
+    block_spins, neighbours, couplings, field = plan.device_arrays()
+
+    S, E = _sparse_init(
+        block_spins,
+        neighbours,
+        couplings,
+        field,
         jnp.asarray(_pack_words_host(x0_signs)),
-        jnp.asarray(betas, dtype=jnp.float32),
-        jnp.uint32(seed & 0xFFFFFFFF),
         num_spins=K,
-        num_sweeps=len(betas),
-        track_trace=track_trace,
         dtype=dtype,
     )
-    S = _unpack_words(np.asarray(S_words), K)
-    bestS = _unpack_words(np.asarray(best_words), K)
-    E = np.asarray(E, dtype=np.float64)
-    bestE = np.asarray(bestE, dtype=np.float64)
-    if track_trace:
-        trace = (np.asarray(trace[0]), np.asarray(trace[1]))
+    bestS, bestE = S, E
+    seed32 = jnp.uint32(seed & 0xFFFFFFFF)
+    traces_cur, traces_best = [], []
+    start = 0
+    while start < T:
+        n = min(sweeps_per_chunk, T - start)
+        S, E, bestS, bestE, trace = _sparse_chunk(
+            block_spins,
+            neighbours,
+            couplings,
+            field,
+            S,
+            E,
+            bestS,
+            bestE,
+            jnp.asarray(betas[start : start + n], dtype=jnp.float32),
+            seed32,
+            jnp.int32(start * plan.num_blocks),
+            num_sweeps=n,
+            track_trace=track_trace,
+        )
+        if track_trace:
+            traces_cur.append(np.asarray(trace[0]))
+            traces_best.append(np.asarray(trace[1]))
+        start += n
+
+    if need_final:
+        words2, E_h, bestE_h = jax.device_get((_pack_two(S, bestS), E, bestE))
+        S_out = _unpack_words(words2[0], K)
+        bestS_out = _unpack_words(words2[1], K)
     else:
-        trace = None
-    return S, E, bestS, bestE, trace
+        words, E_h, bestE_h = jax.device_get((_pack_device(bestS), E, bestE))
+        S_out = None
+        bestS_out = _unpack_words(words, K)
+    trace = (
+        (np.concatenate(traces_cur), np.concatenate(traces_best))
+        if track_trace
+        else None
+    )
+    return S_out, np.asarray(E_h, np.float64), bestS_out, np.asarray(bestE_h, np.float64), trace

@@ -31,7 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.sweeps_xla import ColorPlan, _anneal_kernel, _pack_words_host, _unpack_words
+from ..ops.sweeps_xla import (
+    ColorPlan,
+    _pack_device,
+    _pack_words_host,
+    _sparse_chunk,
+    _sparse_init,
+    _unpack_words,
+)
 from ..utils.log import logger
 
 __all__ = [
@@ -57,7 +64,8 @@ def anneal_sharded(
     betas: np.ndarray,
     seed: int,
     mesh: Mesh,
-    dtype=jnp.float32,
+    dtype=jnp.bfloat16,
+    sweeps_per_chunk: int = 512,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Replica-sharded annealing over a mesh; returns (best signs (R, K),
     best energies (R,)).
@@ -75,29 +83,44 @@ def anneal_sharded(
 
     repl = NamedSharding(mesh, P())
     lane_sharded = NamedSharding(mesh, P(None, axis))
+    e_sharded = NamedSharding(mesh, P(axis))
 
-    kernel = jax.jit(
-        functools.partial(
-            _anneal_kernel,
-            num_spins=K,
-            num_sweeps=len(betas),
-            track_trace=False,
-            dtype=dtype,
-        ),
-        in_shardings=(repl, repl, repl, repl, lane_sharded, repl, repl),
-        out_shardings=(lane_sharded, NamedSharding(mesh, P(axis)),
-                       lane_sharded, NamedSharding(mesh, P(axis)), None),
+    init = jax.jit(
+        functools.partial(_sparse_init, num_spins=K, dtype=dtype),
+        in_shardings=(repl, repl, repl, repl, lane_sharded),
+        out_shardings=(lane_sharded, e_sharded),
     )
-    S_words, E, best_words, bestE, _ = kernel(
+    tables = (
         jnp.asarray(plan.block_spins),
         jnp.asarray(plan.neighbours),
-        jnp.asarray(plan.couplings, dtype=dtype),
-        jnp.asarray(plan.field, dtype=dtype),
-        jnp.asarray(_pack_words_host(x0_signs)),
-        jnp.asarray(betas, dtype=jnp.float32),
-        jnp.uint32(seed & 0xFFFFFFFF),
+        jnp.asarray(plan.couplings, dtype=jnp.float32),
+        jnp.asarray(plan.field, dtype=jnp.float32),
     )
-    return _unpack_words(np.asarray(best_words), K), np.asarray(bestE)
+    S, E = init(*tables, jnp.asarray(_pack_words_host(x0_signs)))
+    bestS, bestE = S, E
+
+    T = len(betas)
+    chunk_shapes = sorted({min(sweeps_per_chunk, T - s) for s in range(0, T, sweeps_per_chunk)})
+    chunks = {
+        n: jax.jit(
+            functools.partial(_sparse_chunk, num_sweeps=n, track_trace=False),
+            in_shardings=(repl, repl, repl, repl, lane_sharded, e_sharded,
+                          lane_sharded, e_sharded, repl, repl, repl),
+            out_shardings=(lane_sharded, e_sharded, lane_sharded, e_sharded, None),
+        )
+        for n in chunk_shapes
+    }
+    seed32 = jnp.uint32(seed & 0xFFFFFFFF)
+    start = 0
+    while start < T:
+        n = min(sweeps_per_chunk, T - start)
+        S, E, bestS, bestE, _ = chunks[n](
+            *tables, S, E, bestS, bestE,
+            jnp.asarray(betas[start : start + n], dtype=jnp.float32),
+            seed32, jnp.int32(start * plan.num_blocks),
+        )
+        start += n
+    return _unpack_words(np.asarray(_pack_device(bestS)), K), np.asarray(bestE)
 
 
 _DP_STEP_CACHE: dict = {}

@@ -18,9 +18,19 @@ import numpy as np
 
 from .. import bits as _bits
 from ..ising import IsingHamiltonian, IsingModel, binary_search
+from ..ops.sweeps_dense import (
+    DensePlan,
+    dense_plan_bytes,
+    make_dense_plan,
+    run_annealing_dense,
+)
 from ..ops.sweeps_xla import ColorPlan, make_color_plan, run_annealing
 from ..utils.log import logger
 from . import greedy as _greedy
+
+# the dense MXU engine materialises the couplings as a (Kp, Kp) bf16
+# tensor; beyond this budget fall back to the sparse gather engine
+DENSE_BYTES_LIMIT = 6 << 30
 
 __all__ = ["anneal", "AnnealResult", "estimate_betas", "solve_ising_model"]
 
@@ -80,11 +90,19 @@ def anneal(
     beta0: Optional[float] = None,
     beta1: Optional[float] = None,
     track_trace: bool = False,
-    block_size: int = 512,
-    plan: Optional[ColorPlan] = None,
+    block_size: Optional[int] = None,
+    plan=None,
+    engine: str = "auto",
 ):
     """Anneal ``repetitions`` independent replicas for ``number_sweeps``
     full sweeps.
+
+    Two engines implement the same sweep semantics: "dense" reformulates
+    each color-class update as an MXU matmul (fastest; couplings held as a
+    dense bf16 tensor, used while that fits) and "sparse" streams padded
+    neighbour lists through an HBM gather (any size). ``engine="auto"``
+    picks by the coupling-tensor footprint; passing a prebuilt ``plan``
+    (ColorPlan or DensePlan) pins the engine and skips plan construction.
 
     Returns (packed bits, energy) of the best replica when ``only_best``
     (common.py:242-248), otherwise an :class:`AnnealResult` carrying
@@ -95,8 +113,19 @@ def anneal(
     K = hamiltonian.size
     R = int(repetitions)
 
+    if plan is not None:
+        engine = "dense" if isinstance(plan, DensePlan) else "sparse"
+    elif engine == "auto":
+        engine = (
+            "dense"
+            if dense_plan_bytes(K, block_size or 256) <= DENSE_BYTES_LIMIT
+            else "sparse"
+        )
     if plan is None:
-        plan = make_color_plan(hamiltonian, block_size=block_size)
+        if engine == "dense":
+            plan = make_dense_plan(hamiltonian, block_size=block_size or 256)
+        else:
+            plan = make_color_plan(hamiltonian, block_size=block_size or 512)
     b0, b1 = estimate_betas(hamiltonian)
     if beta0 is None:
         beta0 = b0
@@ -113,9 +142,14 @@ def anneal(
         signs0 = 2.0 * rng.randint(0, 2, size=(R, K)).astype(np.float64) - 1.0
 
     tick = time.perf_counter()
-    _, _, bestS, bestE_approx, trace = run_annealing(
-        plan, signs0, betas, seed=seed, track_trace=track_trace
-    )
+    if engine == "dense":
+        _, _, bestS, bestE_approx, trace = run_annealing_dense(
+            plan, signs0, betas, seed=seed, track_trace=track_trace, need_final=False
+        )
+    else:
+        _, _, bestS, bestE_approx, trace = run_annealing(
+            plan, signs0, betas, seed=seed, track_trace=track_trace, need_final=False
+        )
     elapsed = time.perf_counter() - tick
 
     # exact energies of the best states (float64, host)
@@ -127,7 +161,7 @@ def anneal(
     )
 
     best = int(np.argmin(energies))
-    bits_all = np.stack([_bits.signs_to_bits(bestS[r]) for r in range(R)])
+    bits_all = _bits.signs_to_bits_batched(bestS)
     result = AnnealResult(
         bits=bits_all[best],
         energy=float(energies[best]),

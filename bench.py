@@ -67,15 +67,17 @@ def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     from annealing_sign_problem_tpu.metrics import compute_accuracy_and_overlap
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
     from annealing_sign_problem_tpu.ops.sweeps_xla import make_color_plan
     from annealing_sign_problem_tpu.solvers import anneal
 
     model, psi, exact = build_problem()
     h = model.ising_hamiltonian
-    plan = make_color_plan(h)
+    plan = make_dense_plan(h)
     K = h.size
     R = 1024
-    log(f"K = {K}, colors = {plan.num_colors}, blocks = {plan.num_blocks}")
+    NB, M, Kp = plan.J.shape
+    log(f"K = {K}, colors = {plan.num_colors}, dense blocks = {NB}x{M}, Kp = {Kp}")
 
     # compile the timed shape once
     T = 3200
@@ -90,6 +92,18 @@ def main():
         best = max(best, r.flips_per_second)
         res0 = res0 or r
 
+    # MXU utilisation of the dense engine (bf16 peak on v5e: ~197 TFLOP/s)
+    mxu_flops = 2.0 * NB * M * Kp * R * (best / (K * R))  # per second
+    mfu = mxu_flops / 197e12
+    log(f"dense engine MFU estimate: {mfu:.2f} (bf16 matmul roofline)")
+
+    # secondary point: the sparse gather engine on the same problem (the
+    # large-cluster path of the sampled_connected_components pipeline)
+    sparse_plan = make_color_plan(h)
+    anneal(h, seed=2, number_sweeps=400, repetitions=R, plan=sparse_plan)
+    rs = anneal(h, seed=5, number_sweeps=400, repetitions=R, plan=sparse_plan, only_best=False)
+    log(f"sparse engine: {rs.flips_per_second:.4g} flips/s")
+
     # quality check on the first timed run (reference curve point: the
     # `make small` schedule gives P(acc>0.995) = 0.766 at 3200 sweeps,
     # experiments/heisenberg_kagome_16.csv)
@@ -99,7 +113,8 @@ def main():
             for r in range(R)
         ]
     )
-    log(f"P(acc>0.995) @ {T} sweeps: {np.mean(accs > 0.995):.3f} (reference: 0.766)")
+    p_acc = float(np.mean(accs > 0.995))
+    log(f"P(acc>0.995) @ {T} sweeps: {p_acc:.3f} (reference: 0.766)")
 
     print(
         json.dumps(
@@ -108,6 +123,12 @@ def main():
                 "value": best,
                 "unit": "flips/s",
                 "vs_baseline": best / BASELINE_FLIPS_PER_SEC,
+                "details": {
+                    "dense_mfu_bf16": round(mfu, 3),
+                    "sparse_engine_flips_per_s": rs.flips_per_second,
+                    "p_acc_gt_0995_at_3200_sweeps": p_acc,
+                    "reference_p_acc": 0.766,
+                },
             }
         )
     )
