@@ -1,0 +1,315 @@
+"""Matplotlib rendering of the paper's figures.
+
+Replaces the reference's gnuplot scripts (figures/plot_*.gnu,
+experiments/{small,clusters,density,energy}.gnu) with matplotlib
+equivalents driven by the same aggregation tables (figures/density.py
+here; reference figures/density.py:89-159). Visual language follows the
+reference: the ColorBrewer Dark2 categorical palette in fixed order, with
+distinct per-series markers/linestyles as a colorblind-safe secondary
+encoding (the reference's gnuplot point types serve the same role).
+
+Renderers:
+- small-systems convergence curves (Figure 2;
+  plot_annealing_on_small_systems.gnu)
+- cluster overlap PDF / CCDF / per-size CCDF / size PDF (Figures 6-8;
+  plot_greedy_overlap_density.gnu, plot_overlap_integrated.gnu,
+  plot_overlap_integrated_per_size.gnu, plot_size_density.gnu)
+- coupling distribution (Figure 3a; plot_coupling_distribution.gnu)
+- frustration probability (Figure 3b; plot_frustration_probability.gnu)
+- noise sweep percentiles (Figure 4; plot_amplitude_vs_sign_overlap.gnu)
+- SA energy traces (square_deep.py best.out/current.out; energy.gnu)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from .density import (
+    estimate_overlap_integrated,
+    estimate_overlap_pdf,
+    estimate_size_pdf,
+    load_cluster_csv,
+    process_noisy_results,
+    _COLUMNS,
+)
+
+__all__ = [
+    "DARK2",
+    "render_small_systems",
+    "render_overlap_pdf",
+    "render_overlap_integrated",
+    "render_overlap_integrated_per_size",
+    "render_size_pdf",
+    "render_coupling_distribution",
+    "render_frustration_probability",
+    "render_noise_sweep",
+    "render_energy_trace",
+]
+
+# ColorBrewer Dark2, the reference's fixed categorical order
+# (plot_common.gnu line styles 1-6)
+DARK2 = ["#1B9E77", "#D95F02", "#7570B3", "#E7298A", "#66A61E", "#E6AB02"]
+MARKERS = ["o", "s", "D", "^", "v", "P"]
+SIZE_BUCKETS = [(50, 106), (106, 224), (224, 473), (473, 1000)]
+
+_SMALL_LABELS = {
+    "heisenberg_kagome_16": "16-site Kagome lattice",
+    "heisenberg_kagome_18": "18-site Kagome lattice",
+    "j1j2_square_4x4": "16-site $J_1$–$J_2$ model",
+    "sk_16_1": "16-site random, realization 1",
+    "sk_16_2": "16-site random, realization 2",
+    "sk_16_3": "16-site random, realization 3",
+}
+
+
+def _new_axes(xlabel: str, ylabel: str):
+    fig, ax = plt.subplots(figsize=(4.5, 3.4), dpi=200)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.grid(True, which="major", lw=0.4, alpha=0.3)
+    return fig, ax
+
+
+def _save(fig, output: str):
+    fig.tight_layout()
+    fig.savefig(output)
+    plt.close(fig)
+    return output
+
+
+def render_small_systems(
+    csv_by_system: Dict[str, str], output: str, column: str = "acc_prob"
+) -> str:
+    """Figure 2: P(convergence) vs sweep count per small system, mean
+    curve with a ±2σ band (plot_annealing_on_small_systems.gnu)."""
+    fig, ax = _new_axes("Number of sweeps", "Probability of convergence")
+    ax.set_xscale("log")
+    ax.set_ylim(0.0, 1.05)
+    for i, (system, path) in enumerate(csv_by_system.items()):
+        names = open(path).readline().lstrip("#").strip().split(",")
+        tab = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+        col = dict(zip(names, tab.T))
+        x = col["number_sweeps"]
+        mean, std = col[f"{column}_mean"], col[f"{column}_std"]
+        c = DARK2[i % len(DARK2)]
+        ax.fill_between(x, mean - 2 * std, mean + 2 * std, color=c, alpha=0.25, lw=0)
+        ax.plot(
+            x, mean,
+            color=c, marker=MARKERS[i % len(MARKERS)], ms=4,
+            mec="black", mew=0.4, lw=1.5,
+            label=_SMALL_LABELS.get(system, system),
+        )
+    ax.legend(fontsize=7, loc="lower right", frameon=False)
+    return _save(fig, output)
+
+
+def _per_order_curves(ax, data, estimator, value_column: str):
+    orders = data.shape[1]
+    for o in range(orders):
+        vals = data[:, o, _COLUMNS.index(value_column)]
+        grid, y = estimator(vals)
+        c = DARK2[o % len(DARK2)]
+        ax.fill_between(grid, 0, y, color=c, alpha=0.3, lw=0)
+        ax.plot(grid, y, color=c, lw=1.8, label=f"order {o}")
+
+
+def render_overlap_pdf(paths, output: str, column: str = "greedy_overlap") -> str:
+    """Overlap PDF per extension order (plot_greedy_overlap_density.gnu)."""
+    data = load_cluster_csv(paths)
+    fig, ax = _new_axes("Sign overlap", "PDF")
+    _per_order_curves(ax, data, estimate_overlap_pdf, column)
+    ax.set_xlim(0, 1)
+    ax.legend(fontsize=8, loc="upper left", frameon=False)
+    return _save(fig, output)
+
+
+def render_overlap_integrated(paths, output: str, column: str = "greedy_overlap") -> str:
+    """CCDF P(overlap >= b) per order (plot_overlap_integrated.gnu)."""
+    data = load_cluster_csv(paths)
+    fig, ax = _new_axes("Sign overlap $b$", "CCDF")
+    _per_order_curves(ax, data, estimate_overlap_integrated, column)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8, loc="lower left", frameon=False)
+    return _save(fig, output)
+
+
+def render_overlap_integrated_per_size(
+    paths, output: str, order: int = -1, column: str = "greedy_overlap"
+) -> str:
+    """Order-N CCDF split by seed-cluster size bucket
+    (plot_overlap_integrated_per_size.gnu buckets [50,106,224,473,1000])."""
+    data = load_cluster_csv(paths)
+    sizes = data[:, 0, _COLUMNS.index("size")]
+    fig, ax = _new_axes("Sign overlap $b$", "CCDF")
+    for i, (lo, hi) in enumerate(SIZE_BUCKETS):
+        mask = (sizes >= lo) & (sizes < hi)
+        if not mask.any():
+            continue
+        grid, y = estimate_overlap_integrated(
+            data[mask, order, _COLUMNS.index(column)]
+        )
+        ax.plot(grid, y, color=DARK2[i], lw=1.8,
+                ls=["-", "--", "-.", ":"][i], label=f"[{lo}, {hi}]")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8, loc="lower left", frameon=False, title="seed size")
+    return _save(fig, output)
+
+
+def render_size_pdf(paths, output: str) -> str:
+    """Density of log10(extended cluster size) per order
+    (plot_size_density.gnu)."""
+    data = load_cluster_csv(paths)
+    fig, ax = _new_axes("Cluster size", "PDF of $\\log_{10}$ size")
+    orders = data.shape[1]
+    for o in range(orders):
+        sizes = data[:, o, _COLUMNS.index("size")]
+        grid, y = estimate_size_pdf(sizes)
+        c = DARK2[o % len(DARK2)]
+        ax.fill_between(10.0**grid, 0, y, color=c, alpha=0.3, lw=0)
+        ax.plot(10.0**grid, y, color=c, lw=1.8, label=f"order {o}")
+    ax.set_xscale("log")
+    ax.set_xlim(2e1, 3e6)
+    ax.legend(fontsize=8, frameon=False)
+    return _save(fig, output)
+
+
+def render_coupling_distribution(csv_path: str, output: str) -> str:
+    """Figure 3a: rank-ordered coupling magnitudes
+    (plot_coupling_distribution.gnu; CSV from `analysis couplings`)."""
+    couplings = np.loadtxt(csv_path)
+    fig, ax = _new_axes("Coupling rank", "$\\langle |J| \\rangle$")
+    ax.plot(np.arange(1, len(couplings) + 1), couplings,
+            color=DARK2[0], marker="o", ms=3, lw=1.2)
+    ax.set_yscale("log")
+    return _save(fig, output)
+
+
+def render_frustration_probability(csv_path: str, output: str) -> str:
+    """Figure 3b: P(bond not frustrated) vs |J| bin
+    (plot_frustration_probability.gnu; CSV from `analysis frustration`)."""
+    tab = np.loadtxt(csv_path, delimiter=",", ndmin=2)
+    fig, ax = _new_axes("$|J|$", "P(not frustrated)")
+    ax.plot(tab[:, 0], tab[:, 1], color=DARK2[1], marker="s", ms=3, lw=1.2)
+    ax.set_xscale("log")
+    ax.set_ylim(0, 1.05)
+    return _save(fig, output)
+
+
+def render_noise_sweep(root_or_csv: str, output: str) -> str:
+    """Figure 4: sign-overlap percentiles vs amplitude overlap under
+    amplitude noise (plot_amplitude_vs_sign_overlap.gnu). Accepts either a
+    noise_*/cutoff_* results tree or a postprocessed *_stats.csv
+    (analysis postprocess-noise: amplitude_overlap, median, upper, lower)."""
+    if os.path.isdir(root_or_csv):
+        table = process_noisy_results(root_or_csv)
+        amp, p25, p50, p75 = table[:, 5], table[:, 2], table[:, 3], table[:, 4]
+    else:
+        tab = np.loadtxt(root_or_csv, delimiter=",", ndmin=2)
+        amp, p50, p75, p25 = tab[:, 0], tab[:, 1], tab[:, 2], tab[:, 3]
+    order = np.argsort(amp)
+    amp, p25, p50, p75 = amp[order], p25[order], p50[order], p75[order]
+    fig, ax = _new_axes("Amplitude overlap", "Sign overlap")
+    ax.fill_between(amp, p25, p75, color=DARK2[0], alpha=0.3, lw=0,
+                    label="25–75%")
+    ax.plot(amp, p50, color=DARK2[0], lw=1.8, marker="o", ms=3, label="median")
+    ax.legend(fontsize=8, frameon=False, loc="lower right")
+    return _save(fig, output)
+
+
+def render_energy_trace(
+    best_path: str, output: str, current_path: Optional[str] = None,
+    exact_energy: Optional[float] = None,
+) -> str:
+    """SA energy traces (energy.gnu; square_deep.py best.out/current.out)."""
+    fig, ax = _new_axes("Sweep", "Ising energy")
+    best = np.loadtxt(best_path, ndmin=2)
+    if current_path is not None and os.path.exists(current_path):
+        cur = np.loadtxt(current_path, ndmin=2)
+        ax.plot(cur.mean(axis=1) if cur.ndim > 1 else cur,
+                color=DARK2[1], lw=1.0, alpha=0.8, label="current")
+    ax.plot(best.mean(axis=1) if best.ndim > 1 else best,
+            color=DARK2[0], lw=1.6, label="best")
+    if exact_energy is not None:
+        ax.axhline(exact_energy, color="gray", ls="--", lw=1.0, label="exact")
+    ax.legend(fontsize=8, frameon=False)
+    return _save(fig, output)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    p = argparse.ArgumentParser(
+        description="Render the paper's figures from experiment CSVs"
+    )
+    sub = p.add_subparsers(dest="kind", required=True)
+
+    s = sub.add_parser("small", help="Figure 2: small-system convergence")
+    s.add_argument("--csv", action="append", required=True,
+                   metavar="SYSTEM=PATH")
+    s.add_argument("--output", required=True)
+    s.add_argument("--column", default="acc_prob",
+                   choices=["acc_prob", "overlap_prob", "residual_prob"])
+
+    for kind in ("overlap-pdf", "overlap-integrated",
+                 "overlap-integrated-per-size", "size-pdf"):
+        c = sub.add_parser(kind, help=f"cluster figure: {kind}")
+        c.add_argument("csv", nargs="+")
+        c.add_argument("--output", required=True)
+        if kind != "size-pdf":
+            c.add_argument("--column", default="greedy_overlap")
+
+    c = sub.add_parser("couplings", help="Figure 3a")
+    c.add_argument("csv")
+    c.add_argument("--output", required=True)
+
+    c = sub.add_parser("frustration", help="Figure 3b")
+    c.add_argument("csv")
+    c.add_argument("--output", required=True)
+
+    c = sub.add_parser("noise", help="Figure 4")
+    c.add_argument("path", help="noise_*/cutoff_* tree or *_stats.csv")
+    c.add_argument("--output", required=True)
+
+    c = sub.add_parser("energy-trace", help="SA energy traces (energy.gnu)")
+    c.add_argument("best")
+    c.add_argument("--current")
+    c.add_argument("--exact-energy", type=float)
+    c.add_argument("--output", required=True)
+
+    args = p.parse_args(argv)
+    if args.kind == "small":
+        csv_by_system = dict(item.split("=", 1) for item in args.csv)
+        out = render_small_systems(csv_by_system, args.output, args.column)
+    elif args.kind == "overlap-pdf":
+        out = render_overlap_pdf(args.csv, args.output, args.column)
+    elif args.kind == "overlap-integrated":
+        out = render_overlap_integrated(args.csv, args.output, args.column)
+    elif args.kind == "overlap-integrated-per-size":
+        out = render_overlap_integrated_per_size(args.csv, args.output,
+                                                 column=args.column)
+    elif args.kind == "size-pdf":
+        out = render_size_pdf(args.csv, args.output)
+    elif args.kind == "couplings":
+        out = render_coupling_distribution(args.csv, args.output)
+    elif args.kind == "frustration":
+        out = render_frustration_probability(args.csv, args.output)
+    elif args.kind == "noise":
+        out = render_noise_sweep(args.path, args.output)
+    elif args.kind == "energy-trace":
+        out = render_energy_trace(args.best, args.output, args.current,
+                                  args.exact_energy)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,3 +46,71 @@ def test_density_estimators_nondegenerate():
     sizes = rng.randint(50, 1000, 500)
     grid, spdf = estimate_size_pdf(sizes.astype(float))
     assert np.all(np.isfinite(spdf))
+
+
+def _write_cluster_csv(path, n=60, orders=3, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for _ in range(n):
+        row = []
+        size = rng.randint(50, 1000)
+        for o in range(orders):
+            row += [size * 10**o, rng.uniform(0.8, 1), rng.uniform(0.5, 1),
+                    rng.uniform(0.8, 1), rng.uniform(0.5, 1), rng.uniform(0.9, 1)]
+        rows.append(row)
+    _write_csv(str(path), rows)
+
+
+def test_render_cluster_figures(tmp_path):
+    from annealing_sign_problem_tpu.figures.render import main
+
+    csv = tmp_path / "clusters.csv"
+    _write_cluster_csv(csv)
+    for kind in ["overlap-pdf", "overlap-integrated",
+                 "overlap-integrated-per-size", "size-pdf"]:
+        out = tmp_path / f"{kind}.png"
+        main([kind, str(csv), "--output", str(out)])
+        assert out.exists() and out.stat().st_size > 5000
+
+
+def test_render_small_systems(tmp_path):
+    from annealing_sign_problem_tpu.figures.render import main
+
+    for sysname in ["heisenberg_kagome_16", "sk_16_1"]:
+        path = tmp_path / f"{sysname}.csv"
+        with open(path, "w") as f:
+            f.write("number_sweeps,acc_prob_mean,acc_prob_std,overlap_prob_mean,overlap_prob_std\n")
+            for i, t in enumerate([100, 200, 400, 800]):
+                f.write(f"{t},{0.5 + 0.1 * i},{0.02},{0.4 + 0.1 * i},{0.03}\n")
+    out = tmp_path / "small.png"
+    main(["small",
+          "--csv", f"heisenberg_kagome_16={tmp_path}/heisenberg_kagome_16.csv",
+          "--csv", f"sk_16_1={tmp_path}/sk_16_1.csv",
+          "--output", str(out)])
+    assert out.exists() and out.stat().st_size > 5000
+
+
+def test_render_noise_and_analysis(tmp_path):
+    from annealing_sign_problem_tpu.figures.render import main
+
+    # noise tree (same layout walk_results expects)
+    rng = np.random.RandomState(3)
+    for noise in [0.1, 0.3, 1.0]:
+        rows = [[100, 0.9, rng.uniform(0.3, 1), np.nan, np.nan,
+                 np.exp(-noise)] for _ in range(40)]
+        _write_csv(str(tmp_path / f"noise_{noise}" / "cutoff_1e-06" / "r.csv.1"), rows)
+    out = tmp_path / "noise.png"
+    main(["noise", str(tmp_path), "--output", str(out)])
+    assert out.exists()
+
+    # couplings spectrum + frustration curve
+    np.savetxt(tmp_path / "couplings.csv", np.geomspace(1, 1e-6, 50))
+    main(["couplings", str(tmp_path / "couplings.csv"),
+          "--output", str(tmp_path / "c.png")])
+    assert (tmp_path / "c.png").exists()
+    np.savetxt(tmp_path / "frust.csv",
+               np.vstack([np.geomspace(1e-6, 1, 20), np.linspace(0.5, 1, 20)]).T,
+               delimiter=",")
+    main(["frustration", str(tmp_path / "frust.csv"),
+          "--output", str(tmp_path / "f.png")])
+    assert (tmp_path / "f.png").exists()
