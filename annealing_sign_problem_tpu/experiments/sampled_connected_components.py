@@ -100,6 +100,7 @@ def solve_and_test_model(h, frozen_spins, exact_signs, weights, annealing, args,
             seed=seed,
             number_sweeps=args.number_sweeps,
             repetitions=args.repetitions,
+            bucket=True,  # bounded kernel-shape set across the cluster stream
         )
         sa_accuracy, sa_overlap = compute_accuracy_and_overlap(x, exact_signs, weights)
         logger.info("SA:     accuracy: {:.3f}; overlap: {:.3f}", sa_accuracy, sa_overlap)

@@ -87,16 +87,23 @@ def dense_plan_bytes(num_spins: int, block_size: int = 256) -> int:
 
 
 def make_dense_plan(
-    hamiltonian, block_size: int = 256, colors: Optional[np.ndarray] = None
+    hamiltonian,
+    block_size: int = 256,
+    colors: Optional[np.ndarray] = None,
+    bucket: bool = False,
 ) -> DensePlan:
     """Densify a ColorPlan into the block-major layout.
 
     Spins are permuted so each update block is a contiguous row range;
     J[b, m, :] holds the couplings of block b's m-th spin against every
     *reordered* spin, so the local fields of a block are one matmul and
-    the state update is a contiguous dynamic slice.
+    the state update is a contiguous dynamic slice. ``bucket=True`` pads
+    the block count to a power of two (see make_color_plan) so streams of
+    heterogeneous clusters hit a bounded set of compiled kernel shapes.
     """
-    plan = make_color_plan(hamiltonian, block_size=block_size, colors=colors)
+    plan = make_color_plan(
+        hamiltonian, block_size=block_size, colors=colors, bucket=bucket
+    )
     NB, M = plan.block_spins.shape
     Kp = NB * M
     K = plan.num_spins
@@ -232,8 +239,13 @@ def run_annealing_dense(
     (T, R)). ``need_final=False`` skips packing/downloading the final
     state (callers typically keep only the best snapshot).
     """
-    R, K = x0_signs.shape
-    assert K == plan.num_spins
+    R, K0 = x0_signs.shape
+    K = plan.num_spins
+    assert K0 <= K
+    if K0 < K:  # bucketed plan: padding spins start at +1 (isolated, inert)
+        x0_signs = np.concatenate(
+            [x0_signs, np.ones((R, K - K0), dtype=x0_signs.dtype)], axis=1
+        )
     NB, M, Kp = plan.J.shape
     T = len(betas)
     if sweeps_per_chunk is None:

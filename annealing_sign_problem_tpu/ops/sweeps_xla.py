@@ -68,13 +68,31 @@ class ColorPlan:
         return cached
 
 
+def _next_bucket(n: int, minimum: int = 1) -> int:
+    """Next power of two >= max(n, minimum)."""
+    return max(minimum, 1 << max(int(n) - 1, 0).bit_length())
+
+
 def make_color_plan(
-    hamiltonian, block_size: int = 512, colors: Optional[np.ndarray] = None
+    hamiltonian,
+    block_size: int = 512,
+    colors: Optional[np.ndarray] = None,
+    bucket: bool = False,
 ) -> ColorPlan:
-    """Build the static sweep schedule for an IsingHamiltonian."""
+    """Build the static sweep schedule for an IsingHamiltonian.
+
+    ``bucket=True`` pads every shape (spin count, neighbour width, block
+    count) to the next power of two with inert sentinels, so a stream of
+    heterogeneous cluster models compiles O(log) distinct kernels instead
+    of one per cluster (remote TPU compiles cost 40s+ each; the cluster
+    pipeline solves thousands of models, sampled_connected_components.py).
+    Padding spins are isolated (zero couplings/field); ``num_spins``
+    reports the padded count — callers slice results back.
+    """
     from ..solvers.coloring import greedy_coloring, color_classes
 
     K = hamiltonian.size
+    Kp = _next_bucket(K, 256) if bucket else K
     if colors is None:
         colors = greedy_coloring(hamiltonian.exchange)
     classes = color_classes(colors)
@@ -85,19 +103,30 @@ def make_color_plan(
             chunk = cls[s : s + block_size]
             if len(chunk) < block_size:
                 chunk = np.concatenate(
-                    [chunk, np.full(block_size - len(chunk), K, dtype=np.int32)]
+                    [chunk, np.full(block_size - len(chunk), Kp, dtype=np.int32)]
                 )
             blocks.append(chunk.astype(np.int32))
+    # padding spins [K, Kp) are isolated but still get one Metropolis
+    # attempt per sweep so per-sweep semantics stay uniform
+    for s in range(K, Kp, block_size):
+        chunk = np.arange(s, s + block_size, dtype=np.int32)
+        blocks.append(np.where(chunk < Kp, chunk, Kp))
+    NB = len(blocks)
+    NBp = _next_bucket(NB, 1) if bucket else max(NB, 1)
+    while len(blocks) < NBp:
+        blocks.append(np.full(block_size, Kp, dtype=np.int32))
     block_spins = np.stack(blocks) if blocks else np.zeros((0, block_size), np.int32)
 
-    # padded neighbour lists (off-diagonal only), sentinel row K
+    # padded neighbour lists (off-diagonal only), sentinel row Kp
     m = hamiltonian.exchange.tocoo()
     mask = (m.row != m.col) & (m.data != 0.0)
     src, dst, w = m.row[mask], m.col[mask], m.data[mask]
     counts = np.bincount(src, minlength=K)
     D = max(int(counts.max()) if counts.size else 0, 1)
-    nbr = np.full((K + 1, D), K, dtype=np.int32)
-    val = np.zeros((K + 1, D), dtype=np.float64)
+    if bucket:
+        D = _next_bucket(D, 4)
+    nbr = np.full((Kp + 1, D), Kp, dtype=np.int32)
+    val = np.zeros((Kp + 1, D), dtype=np.float64)
     offsets = np.zeros(K + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     order = np.argsort(src, kind="stable")
@@ -106,7 +135,7 @@ def make_color_plan(
     nbr[src, slot] = dst
     val[src, slot] = w
 
-    field = np.zeros(K + 1, dtype=np.float64)
+    field = np.zeros(Kp + 1, dtype=np.float64)
     field[:K] = hamiltonian.field
 
     return ColorPlan(
@@ -114,7 +143,7 @@ def make_color_plan(
         neighbours=nbr,
         couplings=val,
         field=field,
-        num_spins=K,
+        num_spins=Kp,
         num_colors=int(colors.max()) + 1 if K else 0,
     )
 
@@ -266,8 +295,13 @@ def run_annealing(
     All device traffic is bit-packed (W uint32 words per replica), so the
     host<->device path moves K*R/32 words instead of K*R floats.
     """
-    R, K = x0_signs.shape
-    assert K == plan.num_spins
+    R, K0 = x0_signs.shape
+    K = plan.num_spins
+    assert K0 <= K
+    if K0 < K:  # bucketed plan: padding spins start at +1 (isolated, inert)
+        x0_signs = np.concatenate(
+            [x0_signs, np.ones((R, K - K0), dtype=x0_signs.dtype)], axis=1
+        )
     T = len(betas)
     if sweeps_per_chunk is None:
         # target ~4s of device time per dispatch; the gather engine moves

@@ -93,6 +93,7 @@ def anneal(
     block_size: Optional[int] = None,
     plan=None,
     engine: str = "auto",
+    bucket: bool = False,
 ):
     """Anneal ``repetitions`` independent replicas for ``number_sweeps``
     full sweeps.
@@ -123,9 +124,13 @@ def anneal(
         )
     if plan is None:
         if engine == "dense":
-            plan = make_dense_plan(hamiltonian, block_size=block_size or 256)
+            plan = make_dense_plan(
+                hamiltonian, block_size=block_size or 256, bucket=bucket
+            )
         else:
-            plan = make_color_plan(hamiltonian, block_size=block_size or 512)
+            plan = make_color_plan(
+                hamiltonian, block_size=block_size or 512, bucket=bucket
+            )
     b0, b1 = estimate_betas(hamiltonian)
     if beta0 is None:
         beta0 = b0
@@ -151,6 +156,7 @@ def anneal(
             plan, signs0, betas, seed=seed, track_trace=track_trace, need_final=False
         )
     elapsed = time.perf_counter() - tick
+    bestS = bestS[:, :K]  # drop bucketed padding spins, if any
 
     # exact energies of the best states (float64, host)
     energies = hamiltonian.energies(bestS)
@@ -185,10 +191,12 @@ def solve_ising_model(
     number_sweeps: int = 5120,
     repetitions: int = 64,
     only_best: bool = True,
+    bucket: bool = False,
 ) -> np.ndarray:
     """Solver dispatch matching the reference (common.py:232-261): mode
     'sa' or 'greedy'; ``frozen_spins`` restricts the returned bits to a
-    sub-cluster."""
+    sub-cluster. ``bucket=True`` pads kernel shapes to powers of two so
+    heterogeneous cluster streams avoid per-model recompiles."""
     if mode == "sa":
         x, _ = anneal(
             model.ising_hamiltonian,
@@ -196,6 +204,7 @@ def solve_ising_model(
             number_sweeps=number_sweeps,
             repetitions=repetitions,
             only_best=only_best,
+            bucket=bucket,
         )
     elif mode == "greedy":
         x, _ = _greedy.greedy_solve(model.ising_hamiltonian)

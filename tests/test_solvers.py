@@ -131,3 +131,28 @@ def test_color_plan_covers_all_spins():
     touched = np.unique(plan.block_spins)
     touched = touched[touched < 100]
     assert len(touched) == 100
+
+
+def test_bucketed_plans_bounded_shapes_and_correct():
+    """Bucketed plans must (a) produce power-of-two kernel shapes shared
+    across heterogeneous models and (b) anneal to the same ground states."""
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
+
+    shapes_sparse, shapes_dense = set(), set()
+    for n, seed in [(10, 2), (12, 3), (13, 4), (14, 5)]:
+        h = random_ising(n, 4, seed=seed)
+        sp = make_color_plan(h, bucket=True)
+        shapes_sparse.add(
+            (sp.block_spins.shape, sp.neighbours.shape, sp.num_spins)
+        )
+        dp = make_dense_plan(h, bucket=True)
+        shapes_dense.add(dp.J.shape)
+        exact_e, _ = brute_force_minimum(h)
+        for plan in (sp, dp):
+            x, e = anneal(h, seed=42, number_sweeps=256, repetitions=32, plan=plan)
+            assert len(bits.bits_to_signs(x, n)) == n
+            assert e <= exact_e + 1e-6, (n, type(plan).__name__, e, exact_e)
+    # the four sizes (10..14 spins) collapse onto O(log) bucketed shapes
+    # (the block count still tracks the power-of-two-rounded color count)
+    assert len(shapes_sparse) <= 2, shapes_sparse
+    assert len(shapes_dense) <= 2, shapes_dense
