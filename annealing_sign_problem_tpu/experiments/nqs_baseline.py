@@ -146,6 +146,61 @@ def compute_local_energy_for_sample(
     return complex(np.sum(coeffs * amp_ratio * sign_n / sign_0))
 
 
+def _network_amplitude_oracle(op, psi, args, rng):
+    """Train a log-amplitude network on the ground state and return
+    (host log-coeff fn, Zanella sampler fn) backed by the network.
+
+    Replaces the reference's pretrained-PRX-checkpoint amplitude source
+    (astrakhantsev_2021.py:260-285) with an in-framework pre-training step;
+    sampling runs Zanella chains on the *network's* |psi|^2 with
+    H-connected moves (astrakhantsev_2021.py:288-345 `sample_some`
+    mode='zanella'), not i.i.d. draws from the ED vector.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.nqs import LogAmplitudeMLP, pretrain_amplitude
+    from ..train.mcmc import hamiltonian_moves, zanella_sample
+
+    basis = op.basis
+    n = basis.number_spins
+    model = LogAmplitudeMLP(number_spins=n, features=(args.width,) * args.depth)
+    log_amps = np.log(np.maximum(np.abs(psi), 1e-300))
+    params, loss = pretrain_amplitude(
+        model, basis.states, log_amps,
+        steps=args.pretrain_steps, seed=args.seed,
+    )
+    logger.info("amplitude network pre-trained: weighted MSE = {:.3e}", loss)
+
+    def log_fn(spins):
+        spins = np.asarray(spins, dtype=np.uint64)
+        a = np.asarray(model.apply(params, jnp.asarray(spins)), dtype=np.float64)
+        return a.astype(np.complex128)
+
+    moves = jnp.asarray(hamiltonian_moves(op))
+
+    def sample(number_samples):
+        chains = min(32, number_samples)
+        steps = (number_samples + chains - 1) // chains
+        # burn-in from |psi|^2-weighted seeds keeps thermalisation short
+        x0 = np.random.RandomState(args.seed).choice(
+            basis.states, size=chains, p=np.abs(psi) ** 2 / np.sum(np.abs(psi) ** 2)
+        )
+        samples, weights = zanella_sample(
+            lambda s: model.apply(params, s),
+            jnp.asarray(x0.astype(np.uint64)),
+            jax.random.PRNGKey(args.seed + 1),
+            number_spins=n,
+            num_samples=steps + args.burn_in,
+            moves=moves,
+        )
+        samples = np.asarray(samples[args.burn_in :]).reshape(-1)[:number_samples]
+        weights = np.asarray(weights[args.burn_in :]).reshape(-1)[:number_samples]
+        return samples, weights
+
+    return log_fn, sample
+
+
 def establish_baseline(argv=None):
     parser = argparse.ArgumentParser(
         description="Variational energy with SA-projected signs (NQS baseline)."
@@ -153,22 +208,35 @@ def establish_baseline(argv=None):
     add_system_arguments(parser)
     parser.add_argument("--number-samples", type=int, default=200)
     parser.add_argument("--mode", choices=["cheat", "greedy", "sa"], default="greedy")
+    parser.add_argument("--amplitude-source", choices=["ed", "network"], default="ed",
+                        help="'ed': exact amplitudes, i.i.d. sampling; 'network': "
+                             "pre-trained log-amplitude net with Zanella sampling")
     parser.add_argument("--sampled-power", type=float, default=2.0)
     parser.add_argument("--number-sweeps", type=int, default=5000)
     parser.add_argument("--repetitions", type=int, default=64)
+    parser.add_argument("--pretrain-steps", type=int, default=2000)
+    parser.add_argument("--width", type=int, default=96)
+    parser.add_argument("--depth", type=int, default=2)
+    parser.add_argument("--burn-in", type=int, default=50)
     parser.add_argument("--seed", type=int, default=12345)
     args = parser.parse_args(argv)
 
     op, name = load_system(args)
     psi, energy = resolve_ground_state(op, name, args.hdf5)
     psi = psi / np.linalg.norm(psi)
-    log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
 
     rng = np.random.RandomState(args.seed)
-    sampling = monte_carlo_sampling(
-        op.basis.states, psi, args.number_samples,
-        sampled_power=args.sampled_power, rng=rng,
-    )
+    if args.amplitude_source == "network":
+        log_fn, sample = _network_amplitude_oracle(op, psi, args, rng)
+        spins, weights = sample(args.number_samples)
+    else:
+        log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
+        sampling = monte_carlo_sampling(
+            op.basis.states, psi, args.number_samples,
+            sampled_power=args.sampled_power, rng=rng,
+        )
+        spins = sampling.spins
+        weights = np.ones(len(spins))
 
     energies = np.array(
         [
@@ -177,11 +245,13 @@ def establish_baseline(argv=None):
                 number_sweeps=args.number_sweeps, repetitions=args.repetitions,
                 seed=int(rng.randint(1 << 31)),
             )
-            for s in sampling.spins
+            for s in spins
         ]
     )
-    mean = energies.real.mean()
-    err = energies.real.std() / np.sqrt(len(energies))
+    weights = weights / weights.sum()
+    mean = float(np.sum(weights * energies.real))
+    var = float(np.sum(weights * (energies.real - mean) ** 2))
+    err = np.sqrt(var / len(energies))
     logger.info(
         "local-energy estimate: {} ± {} (exact: {})", mean, err, energy
     )

@@ -15,7 +15,7 @@ from converted weights.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -31,6 +31,7 @@ __all__ = [
     "symmetrize_log_amplitude",
     "combine_amplitude_and_sign",
     "project_to_real",
+    "pretrain_amplitude",
     "pyrochlore_translations",
 ]
 
@@ -139,3 +140,64 @@ def project_to_real(log_psi: jax.Array) -> jax.Array:
     phase = jnp.imag(log_psi)
     rounded = jnp.pi * jnp.round(phase / jnp.pi)
     return jnp.real(log_psi) + 1j * rounded
+
+
+def pretrain_amplitude(
+    model: nn.Module,
+    states: np.ndarray,  # (N,) uint64 basis states
+    log_amps: np.ndarray,  # (N,) target log|psi|
+    weights: Optional[np.ndarray] = None,  # default |psi|^2
+    steps: int = 2000,
+    batch_size: int = 1024,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+):
+    """Fit a log-amplitude network to target amplitudes (weighted MSE).
+
+    The in-framework replacement for the reference's pretrained PRX
+    checkpoints (astrakhantsev_2021.py:260-285 loads torch weights from
+    disk): the amplitude oracle the NQS baseline samples from becomes a
+    trained network instead of an external artifact. Targets are gauge-
+    shifted to zero weighted mean (log psi is defined up to a constant).
+    Returns (params, final_loss).
+    """
+    import optax
+
+    states = np.asarray(states, dtype=np.uint64)
+    log_amps = np.asarray(log_amps, dtype=np.float64)
+    if weights is None:
+        weights = np.exp(2.0 * (log_amps - log_amps.max()))
+    weights = np.asarray(weights, dtype=np.float64)
+    weights = weights / weights.sum()
+    shift = float(np.sum(weights * log_amps))
+    targets = (log_amps - shift).astype(np.float32)
+
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.asarray(states[:2]))
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    d_states = jnp.asarray(states)
+    d_targets = jnp.asarray(targets)
+    d_weights = jnp.asarray(weights, dtype=jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        idx = jax.random.choice(
+            key, d_states.shape[0], (batch_size,), p=d_weights
+        )
+        s, t = d_states[idx], d_targets[idx]
+
+        def loss_fn(p):
+            pred = model.apply(p, s)
+            return jnp.mean((pred - t) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = jnp.inf
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    return params, float(loss)

@@ -32,6 +32,7 @@ from ..operator import Operator
 __all__ = [
     "table_log_amplitude_fn",
     "exchange_moves",
+    "hamiltonian_moves",
     "metropolis_sample",
     "zanella_sample",
     "local_energy",
@@ -52,6 +53,20 @@ def exchange_moves(number_spins: int) -> np.ndarray:
     """All site pairs (i, j), i<j — the hamming-preserving move set."""
     pairs = [(i, j) for i in range(number_spins) for j in range(i + 1, number_spins)]
     return np.asarray(pairs, dtype=np.int32)
+
+
+def hamiltonian_moves(operator: Operator) -> np.ndarray:
+    """The H-connected move set: exchanges only on the operator's bonds.
+
+    The Zanella neighbourhood then matches the states H actually connects
+    (the reference samples proposals from the Hamiltonian's own graph) and
+    each step evaluates O(bonds) amplitudes instead of O(n^2) site pairs —
+    the difference between 24 and 120 proposals for kagome-16, and the
+    scaling fix for 32-36-spin systems with many chains.
+    """
+    pairs = np.stack([operator._site_i, operator._site_j], axis=1).astype(np.int32)
+    pairs = np.sort(pairs, axis=1)
+    return np.unique(pairs, axis=0)
 
 
 @functools.partial(
@@ -114,17 +129,22 @@ def zanella_sample(
     key: jax.Array,
     number_spins: int,
     num_samples: int,
+    moves: Optional[jax.Array] = None,  # (P, 2) int32 site pairs
 ):
     """Locally-balanced (Zanella) sampling from |psi|^2.
 
-    Every step evaluates |psi| on the full exchange neighbourhood of each
-    chain, jumps to neighbour x' with rate lambda = g(|psi'|^2/|psi|^2),
-    g = sqrt, and records the continuous-time weight 1/sum(lambda).
+    Every step evaluates |psi| on the exchange neighbourhood of each chain
+    (``moves``: all site pairs by default; pass
+    :func:`hamiltonian_moves`'s bond list for the H-connected set), jumps
+    to neighbour x' with rate lambda = g(|psi'|^2/|psi|^2), g = sqrt, and
+    records the continuous-time weight 1/sum(lambda).
 
     Returns (samples (num_samples, C) uint64, weights (num_samples, C)).
     """
     C = x0.shape[0]
-    moves = jnp.asarray(exchange_moves(number_spins))  # (P, 2)
+    if moves is None:
+        moves = exchange_moves(number_spins)
+    moves = jnp.asarray(moves)  # (P, 2)
     P = moves.shape[0]
     mi = moves[:, 0].astype(jnp.uint64)
     mj = moves[:, 1].astype(jnp.uint64)

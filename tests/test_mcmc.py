@@ -105,3 +105,32 @@ def test_local_energy_wrong_signs_raises_energy(ring):
     e_loc = np.asarray(local_energy(op, log_psi_fn, states)).real
     e_mean = float(np.dot(weights, e_loc))
     assert e_mean > energy + 0.5
+
+
+def test_zanella_hamiltonian_moves_matches_born(ring):
+    """H-connected move set (bond exchanges) must sample the same Born
+    distribution as all-pairs moves — the ring's exchange bonds keep the
+    chain irreducible in the hamming sector."""
+    from annealing_sign_problem_tpu.train.mcmc import hamiltonian_moves
+
+    op, _, psi = ring
+    basis = op.basis
+    moves = hamiltonian_moves(op)
+    assert moves.shape == (8, 2)  # one move per ring bond
+    log_amp = table_log_amplitude_fn(
+        basis.states_device, jnp.asarray(np.log(np.abs(psi)))
+    )
+    C = 64
+    x0 = jnp.asarray(
+        np.asarray(basis.states)[np.random.RandomState(2).randint(0, basis.number_states, C)]
+    )
+    samples, weights = zanella_sample(
+        log_amp, x0, jax.random.PRNGKey(2), number_spins=8, num_samples=600,
+        moves=jnp.asarray(moves),
+    )
+    samples, weights = np.asarray(samples[100:]), np.asarray(weights[100:])
+    idx = basis.index(samples.reshape(-1))
+    p_emp = np.bincount(idx, weights=weights.reshape(-1), minlength=basis.number_states)
+    p_emp /= p_emp.sum()
+    tv = 0.5 * np.abs(p_emp - psi**2).sum()
+    assert tv < 0.08

@@ -131,3 +131,36 @@ def test_extract_local_hamiltonian(kagome16):
         j = np.searchsorted(cluster, np.uint64(t))
         if j < 15 and cluster[j] == np.uint64(t):
             assert m[0, j] == pytest.approx(c)
+
+
+def test_nqs_baseline_network_amplitudes(kagome16, tmp_path, monkeypatch):
+    """--amplitude-source network: pre-trained amplitude net + Zanella
+    sampling must reproduce the ED-oracle local-energy estimate within
+    error bars (VERDICT: the reference pipeline samples from the network,
+    astrakhantsev_2021.py:288-345,613-702)."""
+    from annealing_sign_problem_tpu.experiments import nqs_baseline
+
+    op, energy, psi = kagome16
+    import annealing_sign_problem_tpu.experiments.common as common
+
+    monkeypatch.setattr(common, "load_system", lambda args: (op, "kagome16"))
+    monkeypatch.setattr(
+        common, "resolve_ground_state", lambda op_, name, h5: (psi, energy)
+    )
+    monkeypatch.setattr(nqs_baseline, "load_system", common.load_system)
+    monkeypatch.setattr(nqs_baseline, "resolve_ground_state", common.resolve_ground_state)
+
+    import io
+    from contextlib import redirect_stdout
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        nqs_baseline.establish_baseline([
+            "--system", "unused", "--number-samples", "40",
+            "--mode", "cheat", "--amplitude-source", "network",
+            "--pretrain-steps", "600", "--burn-in", "30", "--seed", "7",
+        ])
+    mean, err, exact = map(float, out.getvalue().strip().split(","))
+    # cheat signs + network amplitudes: the residual error is the
+    # amplitude-network fit; demand agreement with E0 at the few-percent level
+    assert abs(mean - exact) < max(5 * err, 0.05 * abs(exact))
