@@ -64,21 +64,15 @@ def cluster_statistics(ising_model) -> dict:
 
     is_frustrated = data * signs[rows] * signs[cols] > 0
 
-    csr = ising_model.ising_hamiltonian.exchange.tocsr()
+    # strongest bond per row, vectorised: sort the off-diagonal COO entries
+    # by (row, |J|) and keep each row's last (largest-magnitude) entry
     n = ising_model.size
     is_largest_frustrated = np.zeros(n, dtype=bool)
-    for i in range(n):
-        lo, hi = csr.indptr[i], csr.indptr[i + 1]
-        if hi == lo:
-            continue
-        nbr = csr.indices[lo:hi]
-        vals = csr.data[lo:hi]
-        mask = nbr != i
-        if not mask.any():
-            continue
-        k = np.argmax(np.abs(vals[mask]))
-        j = nbr[mask][k]
-        is_largest_frustrated[i] = vals[mask][k] * signs[i] * signs[j] > 0
+    if len(data):
+        order = np.lexsort((np.abs(data), rows))
+        r, c, d = rows[order], cols[order], data[order]
+        last = np.nonzero(np.diff(np.append(r, n + 1)))[0]  # per-row argmax
+        is_largest_frustrated[r[last]] = d[last] * signs[r[last]] * signs[c[last]] > 0
 
     stats = {
         "spins": n,

@@ -48,9 +48,10 @@ def test_quality_check_greedy(j1j2_setup):
 
     x = solve_ising_model(model, mode="greedy")
     accuracy, overlap = compute_accuracy_and_overlap(x, exact_bits, weights)
-    # deterministic greedy: strong overlap on this system (paper Table 1)
-    assert overlap > 0.95
-    assert accuracy > 0.8
+    # deterministic greedy solves this system exactly (paper Table 1,
+    # RESULTS.md: accuracy 1.0000, overlap 1.000000)
+    assert overlap > 0.9999
+    assert accuracy > 0.999
 
 
 def test_sa_beats_greedy_energy(j1j2_setup):
@@ -72,3 +73,66 @@ def test_sa_beats_greedy_energy(j1j2_setup):
     exact_bits = determine_exact_solution(op.basis.states, op, psi)
     accuracy, overlap = compute_accuracy_and_overlap(x, exact_bits, psi**2)
     assert accuracy > 0.5
+
+
+TABLE1 = [
+    # measured `make quality_check` values (RESULTS.md Table 1); the
+    # reference reports ~1.0 for these systems (common.py:838-856)
+    ("heisenberg_kagome_16", 0.9999, 0.99999),
+    ("j1j2_square_4x4", 0.9999, 0.99999),
+    ("sk_16_1", 0.999, 0.99999),
+    ("heisenberg_kagome_18", 0.984, 0.99999),
+]
+
+
+@pytest.mark.parametrize("system,min_acc,min_overlap", TABLE1)
+def test_quality_table1_exact_values(system, min_acc, min_overlap):
+    """Greedy Table-1 quality pinned per system using the committed ED
+    caches (physical_systems/data-small)."""
+    import os
+
+    from annealing_sign_problem_tpu.io import load_ground_state
+
+    cache = os.path.join(
+        os.path.dirname(__file__), "..", "physical_systems", "data-small",
+        f"{system}.h5",
+    )
+    config = systems.get_system(system)
+    basis = basis_from_config(config).build()
+    op = operator_from_config(config, basis)
+    psi, energy, _ = load_ground_state(cache)
+
+    log_fn = ground_state_to_log_coeff_fn(psi, basis)
+    model = make_ising_model(basis.states, op, log_psi_fn=log_fn)
+    exact_bits = determine_exact_solution(basis.states, op, psi)
+    x = solve_ising_model(model, mode="greedy")
+    accuracy, overlap = compute_accuracy_and_overlap(x, exact_bits, psi**2)
+    assert accuracy >= min_acc, (system, accuracy)
+    assert overlap >= min_overlap, (system, overlap)
+
+
+def test_estimate_betas_sk16_regression():
+    """Pin the sk_16_1 annealing window (the hardest small instance,
+    reference P(acc)=0.577 at 204800 sweeps): a schedule regression moves
+    these endpoints and silently wrecks the convergence curves."""
+    import os
+
+    from annealing_sign_problem_tpu.io import load_ground_state
+    from annealing_sign_problem_tpu.solvers import estimate_betas
+
+    cache = os.path.join(
+        os.path.dirname(__file__), "..", "physical_systems", "data-small",
+        "sk_16_1.h5",
+    )
+    config = systems.get_system("sk_16_1")
+    basis = basis_from_config(config).build()
+    op = operator_from_config(config, basis)
+    psi, _, _ = load_ground_state(cache)
+    model = make_ising_model(
+        basis.states, op, log_psi_fn=ground_state_to_log_coeff_fn(psi, basis)
+    )
+    beta0, beta1 = estimate_betas(model.ising_hamiltonian)
+    # recorded from the validated engine (round 2); wide tolerances allow
+    # ED-vector noise but not schedule-logic changes
+    assert 0.05 < beta0 < 5.0, beta0
+    assert beta1 / beta0 > 1e3, (beta0, beta1)
