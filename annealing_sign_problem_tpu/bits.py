@@ -26,6 +26,7 @@ __all__ = [
     "unpack",
     "pack",
     "popcount",
+    "bits_to_signs_batched",
     "signs_to_bits",
     "signs_to_bits_batched",
     "bits_to_signs",
@@ -120,4 +121,13 @@ def bits_to_signs(bits, count: int) -> np.ndarray:
     bits = np.asarray(bits, dtype=np.uint64).reshape(-1)
     i = np.arange(count, dtype=np.uint64)
     b = (bits[i // 64] >> (i % 64)) & np.uint64(1)
+    return (2.0 * b.astype(np.float64)) - 1.0
+
+
+def bits_to_signs_batched(bits: np.ndarray, count: int) -> np.ndarray:
+    """Unpack (R, words) uint64 rows into an (R, count) ±1 matrix — one
+    vectorised pass instead of a Python loop over replicas."""
+    bits = np.asarray(bits, dtype=np.uint64)
+    i = np.arange(count, dtype=np.uint64)
+    b = (bits[:, i // 64] >> (i % 64)[None, :]) & np.uint64(1)
     return (2.0 * b.astype(np.float64)) - 1.0

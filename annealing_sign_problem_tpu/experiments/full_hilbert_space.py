@@ -21,10 +21,12 @@ import sys
 import numpy as np
 
 from ..amplitudes import determine_exact_solution, ground_state_to_log_coeff_fn
+from ..bits import bits_to_signs, bits_to_signs_batched
 from ..ising import make_ising_model
-from ..metrics import compute_accuracy_and_overlap
+from ..ops.sweeps_dense import dense_plan_bytes, make_dense_plan
 from ..ops.sweeps_xla import make_color_plan
 from ..solvers import anneal
+from ..solvers.sa import DENSE_BYTES_LIMIT
 from ..utils.log import logger
 from ..utils.output import refuse_to_overwrite
 from .common import add_system_arguments, load_system, resolve_ground_state
@@ -55,28 +57,43 @@ def parse_command_line(argv=None):
     parser.add_argument("--repetitions", type=int, default=1024)
     parser.add_argument("--trials", type=int, default=10)
     parser.add_argument("--seed", type=int, default=12345)
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="skip sweep counts already present in --output (long runs "
+             "through a flaky device link restart where they left off)",
+    )
     return parser.parse_args(argv)
 
 
 def analyze_trial(result, exact_bits, weights, energy):
     """Per-replica (accuracy, overlap, residual) -> the three probabilities
-    (the thresholds of full_hilbert_space.py:164-186)."""
-    R = result.bits_all.shape[0]
-    metrics = np.zeros((R, 3))
-    for r in range(R):
-        acc, ov = compute_accuracy_and_overlap(result.bits_all[r], exact_bits, weights)
-        err = abs((result.energies_all[r] - energy) / energy)
-        metrics[r] = [acc, ov, err]
+    (the thresholds of full_hilbert_space.py:164-186), vectorised over
+    replicas."""
+    K = len(weights)
+    signs = bits_to_signs_batched(result.bits_all, K)  # (R, K)
+    exact = bits_to_signs(exact_bits, K)  # (K,)
+    agree = signs * exact[None, :]
+    acc = np.mean(agree > 0, axis=1)
+    acc = np.maximum(acc, 1.0 - acc)
+    w = weights / np.sum(weights)
+    ov = np.abs(agree @ w)
+    err = np.abs((result.energies_all - energy) / energy)
     return (
-        float(np.mean(metrics[:, 0] > ACCURACY_THRESHOLD)),
-        float(np.mean(metrics[:, 1] > OVERLAP_THRESHOLD)),
-        float(np.mean(metrics[:, 2] <= RESIDUAL_THRESHOLD)),
+        float(np.mean(acc > ACCURACY_THRESHOLD)),
+        float(np.mean(ov > OVERLAP_THRESHOLD)),
+        float(np.mean(err <= RESIDUAL_THRESHOLD)),
     )
 
 
 def main(argv=None):
     args = parse_command_line(argv)
-    if refuse_to_overwrite(args.output):
+    done_sweeps = set()
+    if args.resume and os.path.exists(args.output):
+        tab = np.loadtxt(args.output, delimiter=",", skiprows=1, ndmin=2)
+        if tab.size:
+            done_sweeps = set(tab[:, 0].astype(int))
+        logger.info("resuming: {} sweep counts already done", len(done_sweeps))
+    elif refuse_to_overwrite(args.output):
         return 1
 
     op, name = load_system(args)
@@ -86,7 +103,12 @@ def main(argv=None):
 
     log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
     model = make_ising_model(op.basis.states, op, log_psi_fn=log_fn)
-    plan = make_color_plan(model.ising_hamiltonian)
+    # the dense MXU engine when the coupling tensor fits (every reference
+    # small system); the gather engine otherwise
+    if dense_plan_bytes(model.size) <= DENSE_BYTES_LIMIT:
+        plan = make_dense_plan(model.ising_hamiltonian)
+    else:
+        plan = make_color_plan(model.ising_hamiltonian)
     exact_bits = determine_exact_solution(op.basis.states, op, psi)
     weights = psi**2
     # the Ising ground-state energy equals the quantum energy at exact signs
@@ -97,10 +119,13 @@ def main(argv=None):
     rng = np.random.RandomState(args.seed)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    with open(args.output, "w") as f:
-        f.write(",".join(CSV_COLUMNS) + "\n")
+    if not done_sweeps:
+        with open(args.output, "w") as f:
+            f.write(",".join(CSV_COLUMNS) + "\n")
 
     for number_sweeps in sweeps:
+        if number_sweeps in done_sweeps:
+            continue
         results = np.zeros((args.trials, 3))
         for trial in range(args.trials):
             logger.info(
