@@ -25,6 +25,7 @@ endif
 
 SMALL_SYSTEMS = heisenberg_kagome_16 heisenberg_kagome_18 j1j2_square_4x4 \
                 sk_16_1 sk_16_2 sk_16_3
+TRIALS = 10
 
 all:
 
@@ -49,7 +50,9 @@ experiments/%.csv:
 		--seed $(SEED) \
 		--output $@.wip \
 		--number-sweeps 100,200,400,800,1600,3200,6400,12800,25600,51200,102400,204800 \
-		--repetitions 1024 && \
+		--repetitions 1024 \
+		--trials $(TRIALS) \
+		--resume && \
 	mv $@.wip $@
 
 experiments/noise/%.csv:
