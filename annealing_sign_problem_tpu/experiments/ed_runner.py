@@ -32,7 +32,8 @@ def main(argv=None):
     add_system_arguments(parser)
     parser.add_argument("--output", type=str, help="output .h5 (default: yaml name)")
     parser.add_argument(
-        "--method", choices=["auto", "small", "large", "codebook", "sharded"],
+        "--method",
+        choices=["auto", "small", "large", "codebook", "sharded", "sector"],
         default="auto",
     )
     parser.add_argument("--num-iter", type=int, default=128)
@@ -58,6 +59,30 @@ def main(argv=None):
             method = "small"
 
     t0 = time.time()
+    if method == "sector":
+        # table-free full-hamming-sector ED (sk_32_1 class, sector.py):
+        # no representative enumeration, combinadic indexing throughout
+        import numpy as np
+
+        from ..sector import ground_state_sector, make_sector_codec
+
+        n, k = op.basis.number_spins, op.basis.hamming_weight
+        logger.info("Hilbert space dimension: {} (full sector)", sector)
+        energy, psi = ground_state_sector(
+            op, num_iter=min(args.num_iter, 16), restarts=args.restarts,
+            seed=args.seed,
+            checkpoint_path=(args.block_cache_dir or ".") + f"/{name}_sector_ckpt.npz",
+        )
+        _, unrank = make_sector_codec(n, k)
+        states = np.empty(sector, dtype=np.uint64)
+        step = 1 << 24
+        for s in range(0, sector, step):
+            idx = np.arange(s, min(s + step, sector), dtype=np.int32)
+            states[s : s + len(idx)] = np.asarray(unrank(idx))
+        logger.info("Ground state energy: {} ({:.1f}s)", energy, time.time() - t0)
+        save_ground_state(output, psi, energy, states)
+        logger.info("Wrote {}", output)
+        return 0
     if method == "small":
         op.basis.build()
         logger.info("Hilbert space dimension: {}", op.basis.number_states)

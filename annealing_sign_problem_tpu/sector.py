@@ -148,7 +148,7 @@ def ground_state_sector(
     restarts: int = 40,
     tol: float = 1e-9,
     seed: int = 0,
-    rows_per_chunk: int = 1 << 17,
+    rows_per_chunk: Optional[int] = None,
     chunks_per_dispatch: int = 16,
     checkpoint_path: Optional[str] = None,
     dtype=jnp.float32,
@@ -161,6 +161,14 @@ def ground_state_sector(
     """
     basis = operator.basis
     n, k = basis.number_spins, basis.hamming_weight
+    if rows_per_chunk is None:
+        # span = B*G rows per dispatch; keep padding waste small for tiny
+        # sectors and dispatches bounded (~2M rows) for 601M-state ones
+        dim_est = sector_dimension(n, k)
+        rows_per_chunk = max(
+            1024, 1 << (max(dim_est // chunks_per_dispatch, 1) - 1).bit_length()
+        )
+        rows_per_chunk = min(rows_per_chunk, 1 << 17)
     mv_span, dim = _matvec_maker(
         operator, n, k, rows_per_chunk, chunks_per_dispatch
     )
