@@ -622,8 +622,10 @@ def ground_state_codebook(
 
         # one program per table buffer: the remote compiler falls over when
         # a single program's argument footprint approaches HBM size, so the
-        # matvec is split into one dispatch per sub-2^31-element buffer
-        @jax.jit
+        # matvec is split into one dispatch per sub-2^31-element buffer.
+        # acc is donated: with the 8.5 GB table resident, every spare
+        # vector-sized buffer counts
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def mv_pass(acc, wbuf, v, cb):
             cbt = cb.astype(dt)
             span = wbuf.shape[0]
