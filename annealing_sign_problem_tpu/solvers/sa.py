@@ -41,8 +41,9 @@ class AnnealResult:
 
     bits: np.ndarray  # packed signs of the best replica
     energy: float  # its exact (float64) energy
-    bits_all: np.ndarray  # (R, words) packed best-of-chain signs per replica
-    energies_all: np.ndarray  # (R,) exact per-replica best energies
+    bits_all: np.ndarray  # (R, words) packed per-replica reported signs
+    # (final-after-descent by default; best-of-chain when descent_sweeps=0)
+    energies_all: np.ndarray  # (R,) exact per-replica energies
     trace_current: Optional[np.ndarray]  # (T, R) incremental energies
     trace_best: Optional[np.ndarray]  # (T, R) best-so-far energies
     attempted_flips: int
@@ -53,31 +54,71 @@ class AnnealResult:
         return self.attempted_flips / max(self.elapsed, 1e-12)
 
 
-def estimate_betas(hamiltonian: IsingHamiltonian) -> Tuple[float, float]:
-    """Geometric annealing schedule endpoints from the coupling scales.
+def estimate_betas(
+    hamiltonian: IsingHamiltonian, schedule: str = "linear"
+) -> Tuple[float, float]:
+    """Annealing window endpoints from the coupling scales.
 
-    beta0 makes the hardest flip acceptable with probability 1/2
-    (everything melts); beta1 makes the *smallest* energy granularity
-    costly (everything freezes, weak couplings included). The couplings of
-    sign-problem Ising models span many decades (Figure 3a of the paper),
-    so the window is wide and the geometric ramp spends comparable time
-    ordering each coupling scale — the annealing analogue of the greedy
-    solver's strongest-first hierarchy.
+    ``schedule="linear"`` (linear-in-temperature cooling, the default):
+    beta0 sits at the strongest-coupling scale — the core never fully
+    melts and gets the bulk of the sweeps (1/T cooling spends time
+    proportional to 1/beta near each scale), which is what orders the
+    heavy-amplitude backbone reliably. ``schedule="geometric"``: beta0
+    makes the hardest flip acceptable with probability 1/2 (full melt)
+    and the geometric ramp gives every coupling decade equal time. Both
+    end deep below the smallest coupling. The sign-problem couplings span
+    many decades (Figure 3a of the paper); measured on kagome-16, the
+    linear window converges markedly faster per sweep (P(acc) 0.78 vs
+    0.55 at 100 sweeps).
     """
     m = hamiltonian.exchange.tocoo()
     off = (m.row != m.col) & (m.data != 0.0)
     absw = np.abs(m.data[off])
     if absw.size == 0:
         return 0.1, 1.0
-    row_abs_sum = np.zeros(hamiltonian.size)
-    np.add.at(row_abs_sum, m.row[off], absw)
-    max_delta_e = 2.0 * (2.0 * row_abs_sum.max() + np.abs(hamiltonian.field).max(initial=0.0))
+    if schedule == "linear":
+        beta0 = float(np.log(2.0) / (4.0 * absw.max()))
+    else:
+        row_abs_sum = np.zeros(hamiltonian.size)
+        np.add.at(row_abs_sum, m.row[off], absw)
+        max_delta_e = 2.0 * (
+            2.0 * row_abs_sum.max() + np.abs(hamiltonian.field).max(initial=0.0)
+        )
+        beta0 = float(np.log(2.0) / max_delta_e)
     min_delta_e = 4.0 * absw.min()
-    beta0 = float(np.log(2.0) / max_delta_e)
     beta1 = float(np.log(100.0) / max(min_delta_e, 1e-300))
     # keep the window within ~14 decades so float32 exp(-beta*delta) stays sane
     beta1 = min(beta1, beta0 * 1e14)
     return beta0, beta1
+
+
+def make_schedule(beta0: float, beta1: float, T: int, kind: str = "linear") -> np.ndarray:
+    """Inverse-temperature sequence for T sweeps.
+
+    "linear": temperature falls linearly 1/beta0 -> 1/beta1 (textbook SA
+    cooling; beta ~ beta0/(1 - t/T), so each coupling scale J gets a
+    sweep budget ~ T*beta0*J — the strong core dominates).
+    "geometric": beta0 * (beta1/beta0)^(t/(T-1)) — equal sweeps per
+    coupling decade.
+    """
+    t = np.arange(T)
+    if kind == "linear":
+        temps = (1.0 / beta0) + ((1.0 / beta1) - (1.0 / beta0)) * t / max(T - 1, 1)
+        return 1.0 / temps
+    return beta0 * (beta1 / beta0) ** (t / max(T - 1, 1))
+
+
+def _descent_plan(hamiltonian, plan, bucket: bool):
+    """Sparse ColorPlan for the zero-temperature descent phase, cached on
+    the main plan object (the dense engine needs a sparse companion for
+    exact-delta descent; sparse main plans descend on themselves)."""
+    if isinstance(plan, ColorPlan):
+        return plan
+    cached = getattr(plan, "_descent_plan", None)
+    if cached is None:
+        cached = make_color_plan(hamiltonian, bucket=bucket)
+        object.__setattr__(plan, "_descent_plan", cached)
+    return cached
 
 
 def anneal(
@@ -94,20 +135,30 @@ def anneal(
     plan=None,
     engine: str = "auto",
     bucket: bool = False,
+    schedule: str = "linear",
+    descent_sweeps: int = 20,
 ):
     """Anneal ``repetitions`` independent replicas for ``number_sweeps``
-    full sweeps.
+    full sweeps, then descend ``descent_sweeps`` zero-temperature sweeps.
 
     Two engines implement the same sweep semantics: "dense" reformulates
     each color-class update as an MXU matmul (fastest; couplings held as a
-    dense bf16 tensor, used while that fits) and "sparse" streams padded
+    dense f32 tensor, used while that fits) and "sparse" streams padded
     neighbour lists through an HBM gather (any size). ``engine="auto"``
     picks by the coupling-tensor footprint; passing a prebuilt ``plan``
     (ColorPlan or DensePlan) pins the engine and skips plan construction.
 
+    The reported states are the FINAL configurations after the descent
+    phase — the descent runs on the sparse engine whose f32 VPU deltas
+    are exact, so a replica that annealed into the ground-state basin
+    lands on the exact optimum (the reference CSVs show residual == acc:
+    its annealer's converged replicas recover the optimum exactly, which
+    MXU-truncated deltas alone cannot reproduce). ``descent_sweeps=0``
+    restores best-of-chain reporting.
+
     Returns (packed bits, energy) of the best replica when ``only_best``
     (common.py:242-248), otherwise an :class:`AnnealResult` carrying
-    per-replica best states, energies and optional traces.
+    per-replica states, energies and optional traces.
     """
     if seed is None:
         seed = int(np.random.randint(1 << 31))
@@ -131,14 +182,13 @@ def anneal(
             plan = make_color_plan(
                 hamiltonian, block_size=block_size or 512, bucket=bucket
             )
-    b0, b1 = estimate_betas(hamiltonian)
+    b0, b1 = estimate_betas(hamiltonian, schedule=schedule)
     if beta0 is None:
         beta0 = b0
     if beta1 is None:
         beta1 = b1
     T = int(number_sweeps)
-    t = np.arange(T) / max(T - 1, 1)
-    betas = beta0 * (beta1 / beta0) ** t
+    betas = make_schedule(beta0, beta1, T, kind=schedule)
 
     rng = np.random.RandomState(seed)
     if x0 is not None:
@@ -146,28 +196,42 @@ def anneal(
     else:
         signs0 = 2.0 * rng.randint(0, 2, size=(R, K)).astype(np.float64) - 1.0
 
+    descend = int(descent_sweeps) > 0
     tick = time.perf_counter()
     if engine == "dense":
-        _, _, bestS, bestE_approx, trace = run_annealing_dense(
-            plan, signs0, betas, seed=seed, track_trace=track_trace, need_final=False
+        S, _, bestS, bestE_approx, trace = run_annealing_dense(
+            plan, signs0, betas, seed=seed, track_trace=track_trace,
+            need_final=descend,
         )
     else:
-        _, _, bestS, bestE_approx, trace = run_annealing(
-            plan, signs0, betas, seed=seed, track_trace=track_trace, need_final=False
+        S, _, bestS, bestE_approx, trace = run_annealing(
+            plan, signs0, betas, seed=seed, track_trace=track_trace,
+            need_final=descend,
         )
+    if descend:
+        dplan = _descent_plan(hamiltonian, plan, bucket)
+        outS, _, _, _, _ = run_annealing(
+            dplan,
+            S[:, :K],
+            np.full(int(descent_sweeps), 1e30, dtype=np.float64),
+            seed=seed + 1,
+            need_final=True,
+        )
+    else:
+        outS = bestS
     elapsed = time.perf_counter() - tick
-    bestS = bestS[:, :K]  # drop bucketed padding spins, if any
+    outS = outS[:, :K]  # drop bucketed padding spins, if any
 
-    # exact energies of the best states (float64, host)
-    energies = hamiltonian.energies(bestS)
-    attempted = R * K * T
+    # exact energies of the reported states (float64, host)
+    energies = hamiltonian.energies(outS)
+    attempted = R * K * (T + (int(descent_sweeps) if descend else 0))
     logger.debug(
         "annealing: K={}, R={}, T={}, {:.3f}s, {:.3g} flips/s",
         K, R, T, elapsed, attempted / max(elapsed, 1e-12),
     )
 
     best = int(np.argmin(energies))
-    bits_all = _bits.signs_to_bits_batched(bestS)
+    bits_all = _bits.signs_to_bits_batched(outS)
     result = AnnealResult(
         bits=bits_all[best],
         energy=float(energies[best]),

@@ -131,8 +131,10 @@ def test_estimate_betas_sk16_regression():
     model = make_ising_model(
         basis.states, op, log_psi_fn=ground_state_to_log_coeff_fn(psi, basis)
     )
-    beta0, beta1 = estimate_betas(model.ising_hamiltonian)
+    b0_lin, b1_lin = estimate_betas(model.ising_hamiltonian, schedule="linear")
+    b0_geo, b1_geo = estimate_betas(model.ising_hamiltonian, schedule="geometric")
     # recorded from the validated engine (round 2); wide tolerances allow
     # ED-vector noise but not schedule-logic changes
-    assert 0.05 < beta0 < 5.0, beta0
-    assert beta1 / beta0 > 1e3, (beta0, beta1)
+    assert 0.05 < b0_geo < 5.0, b0_geo
+    assert 1.0 < b0_lin < 100.0, b0_lin  # ln2/(4 max|J|), core scale
+    assert b1_geo / b0_geo > 1e3 and b1_lin / b0_lin > 1e3
