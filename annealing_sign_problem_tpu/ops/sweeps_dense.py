@@ -87,9 +87,9 @@ class DensePlan:
 
 
 def dense_plan_bytes(num_spins: int, block_size: int = 256) -> int:
-    """Estimated device bytes for the bf16 dense coupling tensor."""
+    """Estimated device bytes for the f32 dense coupling tensor."""
     kp = ((num_spins + block_size - 1) // block_size + 8) * block_size
-    return 2 * kp * kp
+    return 4 * kp * kp
 
 
 def make_dense_plan(
