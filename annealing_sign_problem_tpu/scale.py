@@ -610,10 +610,24 @@ def ground_state_codebook(
         off += wd.shape[0]
     del blocks
     packed_words[0].block_until_ready()
+    # release the build-phase device buffers (~750 MB: chunked states,
+    # norms, and the cached sorted-state table) — with the 8.5 GB table
+    # plus the Lanczos basis resident, every buffer counts
+    del d_chunks, d_norms, states_dev, norms_dev
+    basis._states_device = None
     logger.info(
         "packed table resident on device ({:.2f} GB in {} buffers)",
         sum(p.size for p in packed_words) * 4 / 2**30, len(packed_words),
     )
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        logger.info(
+            "device memory: {:.2f}/{:.2f} GB in use",
+            stats.get("bytes_in_use", 0) / 2**30,
+            stats.get("bytes_limit", 0) / 2**30,
+        )
+    except Exception:  # the relay backend may not expose stats
+        pass
 
     m = min(num_iter, K)
 
