@@ -446,6 +446,7 @@ def ground_state_codebook(
     block_cache_dir: Optional[str] = None,
     thick: int = 6,
     checkpoint_path: Optional[str] = None,
+    low_memory: bool = True,
 ) -> Tuple[float, np.ndarray]:
     """Ground state of a basis whose f32 neighbour table exceeds HBM.
 
@@ -631,6 +632,37 @@ def ground_state_codebook(
 
     m = min(num_iter, K)
 
+    def make_matvec(dt):
+        """Table matvec for the two-pass (no stored V) driver."""
+        rows = Kp // row_slices
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def tp_pass(acc, wbuf, v, cb):
+            cbt = cb.astype(dt)
+            span = wbuf.shape[0]
+            w3 = wbuf.reshape(span, row_slices, rows)
+
+            def mv_slice(_, si):
+                wd = w3[:, si]
+                idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                code = (wd >> 25).astype(jnp.int32)
+                return None, jnp.sum(cbt[code] * v[idx], axis=0)
+
+            _, p = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
+            return acc + p.reshape(-1)
+
+        @jax.jit
+        def tp_start(diags, v):
+            return diags.astype(dt) * v
+
+        def matvec(v):
+            w = tp_start(packed_diag, v)
+            for wbuf in packed_words:
+                w = tp_pass(w, wbuf, v, codebook)
+            return w
+
+        return matvec
+
     def make_callbacks(dt, m_phase):
         rows = Kp // row_slices
 
@@ -696,6 +728,30 @@ def ground_state_codebook(
         )
 
     rng = np.random.RandomState(seed)
+
+    if low_memory:
+        # two-pass restarted Lanczos (sector.two_pass_lanczos): no stored
+        # Krylov basis — peak memory is the 8.5 GB table + four vectors.
+        # The thick-restart path (below) OOMs one v5e chip beside the
+        # resident table even at m=12 through the axon relay.
+        from .sector import two_pass_lanczos
+
+        theta, x = two_pass_lanczos(
+            make_matvec(jnp.float32), K, Kp, num_iter=m, restarts=restarts,
+            tol=tol, v0_host=rng.standard_normal(K),
+            checkpoint_path=checkpoint_path, dtype=jnp.float32,
+            name="codebook f32 (two-pass)",
+        )
+        if polish_restarts > 0:
+            ckpt64 = None if checkpoint_path is None else checkpoint_path + ".f64.npz"
+            theta, x = two_pass_lanczos(
+                make_matvec(jnp.float64), K, Kp, num_iter=min(polish_iter, m),
+                restarts=polish_restarts, tol=tol, v0_host=x,
+                checkpoint_path=ckpt64, dtype=jnp.float64,
+                name="codebook f64 (two-pass)", theta0=theta,
+            )
+        return theta, x
+
     v0 = np.zeros(Kp)
     v0[:K] = rng.standard_normal(K)
     v0 /= np.linalg.norm(v0)

@@ -44,6 +44,7 @@ __all__ = [
     "make_sector_codec",
     "sector_dimension",
     "ground_state_sector",
+    "two_pass_lanczos",
 ]
 
 
@@ -186,6 +187,40 @@ def ground_state_sector(
             y = mv_span(x, y, jnp.int32(s))
         return y
 
+    rng = np.random.RandomState(seed)
+    v0 = rng.standard_normal(dim)
+    return two_pass_lanczos(
+        matvec, dim, Kp, num_iter=num_iter, restarts=restarts, tol=tol,
+        v0_host=v0, checkpoint_path=checkpoint_path, dtype=dtype,
+        name="sector ED",
+    )
+
+
+def two_pass_lanczos(
+    matvec,
+    dim: int,
+    Kp: int,
+    num_iter: int,
+    restarts: int,
+    tol: float,
+    v0_host: np.ndarray,
+    checkpoint_path: Optional[str] = None,
+    dtype=jnp.float32,
+    name: str = "two-pass lanczos",
+    theta0: float = np.inf,
+) -> Tuple[float, np.ndarray]:
+    """Memory-bound restarted Lanczos: NO stored Krylov basis.
+
+    Pass 1 runs the 3-term recurrence collecting the tridiagonal; pass 2
+    reruns it accumulating the lowest Ritz vector (Parlett ch.13). Peak
+    device memory is four ``(Kp,)`` vectors — the driver of choice when a
+    resident table (codebook kagome-36) or the sheer dimension (601M-state
+    sk_32) leaves no room for an (m, Kp) basis. Per-restart checkpoints;
+    sub-tolerance regressions reseed from the best Ritz vector and three
+    in a row mean the working-precision floor (converged).
+    """
+    m = num_iter
+
     @jax.jit
     def dot64(a, b):
         return jax.lax.dot_general(
@@ -230,19 +265,20 @@ def ground_state_sector(
                 break
         return np.array(alphas), np.array(betas), acc
 
-    rng = np.random.RandomState(seed)
-    best_theta, best_x = np.inf, None
+    def to_dev(x_host):
+        return jnp.asarray(
+            np.pad(x_host / np.linalg.norm(x_host), (0, Kp - dim)), dtype=dtype
+        )
+
+    best_theta, best_x = theta0, None
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         data = np.load(checkpoint_path)
         best_theta = float(data["theta"])
-        x0 = data["x"].astype(np.float64)
-        logger.info("sector ED: resuming from checkpoint (E = {:.12f})", best_theta)
-        v = jnp.asarray(
-            np.pad(x0 / np.linalg.norm(x0), (0, Kp - dim)), dtype=dtype
-        )
+        best_x = data["x"].astype(np.float64)
+        logger.info("{}: resuming from checkpoint (E = {:.12f})", name, best_theta)
+        v = to_dev(best_x)
     else:
-        x0 = rng.standard_normal(dim)
-        v = jnp.asarray(np.pad(x0 / np.linalg.norm(x0), (0, Kp - dim)), dtype=dtype)
+        v = to_dev(np.asarray(v0_host, dtype=np.float64))
 
     import scipy.linalg
 
@@ -259,8 +295,8 @@ def ground_state_sector(
             10 * tol * max(1.0, abs(theta_new)), 1e-8
         )
         logger.info(
-            "sector ED restart {}: E = {:.12f} ({:.0f}s){}",
-            r, theta_new, time.time() - t0,
+            "{} restart {}: E = {:.12f} ({:.0f}s){}",
+            name, r, theta_new, time.time() - t0,
             "  ** regressed — reseeding" if regressed else "",
         )
         if regressed and best_x is not None:
@@ -268,11 +304,9 @@ def ground_state_sector(
             if stall >= 3:
                 # repeated sub-tolerance regressions: the Ritz value is
                 # bouncing at the working-precision floor — converged
-                logger.info("sector ED: converged at the f32 floor")
+                logger.info("{}: converged at the working-precision floor", name)
                 break
-            v = jnp.asarray(
-                np.pad(best_x / np.linalg.norm(best_x), (0, Kp - dim)), dtype=dtype
-            )
+            v = to_dev(best_x)
             continue
         stall = 0
 
@@ -293,6 +327,12 @@ def ground_state_sector(
         if converged:
             break
 
+    if best_x is None:
+        # theta0 was already below every Ritz value seen (e.g. an f64
+        # polish that cannot improve on its f32 seed): report the latest
+        # Ritz vector
+        best_x = np.asarray(v[:dim], dtype=np.float64)
+        best_theta = theta
     x = best_x / np.linalg.norm(best_x)
     if x[np.argmax(np.abs(x))] < 0:
         x = -x
