@@ -90,7 +90,23 @@ def resolve_ground_state(
 
     if hdf5 is not None:
         psi, energy, representatives = load_ground_state(hdf5)
-        op.basis.build(representatives)
+        rep_cache = os.path.join(
+            cache_dir or default_cache_dir(), f"{name}_basis.npz"
+        )
+        if op.basis.has_symmetries and os.path.exists(rep_cache):
+            # the cached enumeration carries the stabiliser norms too —
+            # recomputing them lazily for a 31.5M-representative basis
+            # would grind through the host orbit path
+            from .. import scale
+
+            scale.build_basis_at_scale(op.basis, cache_path=rep_cache)
+            if op.basis.number_states != len(representatives):
+                raise RuntimeError(
+                    f"basis cache ({op.basis.number_states}) disagrees with "
+                    f"the h5 representatives ({len(representatives)})"
+                )
+        else:
+            op.basis.build(representatives)
         logger.info("Ground state energy is {}", energy)
         return psi, energy
 
