@@ -28,9 +28,11 @@ from ..ops.sweeps_xla import ColorPlan, make_color_plan, run_annealing
 from ..utils.log import logger
 from . import greedy as _greedy
 
-# the dense MXU engine materialises the couplings as a (Kp, Kp) bf16
-# tensor; beyond this budget fall back to the sparse gather engine
-DENSE_BYTES_LIMIT = 6 << 30
+# the dense MXU engine materialises the couplings as one (Kp, Kp) f32
+# tensor; the live relay rejects programs touching buffers much beyond
+# ~1.5 GB (RESOURCE_EXHAUSTED regardless of free HBM — see RESULTS.md),
+# so beyond this budget fall back to the sparse gather engine
+DENSE_BYTES_LIMIT = 3 << 29
 
 __all__ = ["anneal", "AnnealResult", "estimate_betas", "solve_ising_model"]
 
