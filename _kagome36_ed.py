@@ -14,8 +14,8 @@ op = operator_from_config(systems.get_system("heisenberg_kagome_36"), basis)
 # num_iter=12: V is (m, 31.5M) f32 next to the 8.5 GB resident table —
 # m=24 and m=16 both OOMed the chip at the first Lanczos step
 energy, psi = scale.ground_state_codebook(
-    op, num_iter=12, restarts=160, chunk_size=2048, super_chunks=256,
-    polish_restarts=4, polish_iter=8, thick=5, tol=1e-10,
+    op, num_iter=20, restarts=160, chunk_size=2048, super_chunks=256,
+    polish_restarts=4, polish_iter=10, thick=5, tol=1e-10,
     block_cache_dir="/root/k36_blocks",
     checkpoint_path="/root/k36_ckpt.npz",
 )
