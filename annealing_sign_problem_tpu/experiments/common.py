@@ -124,7 +124,19 @@ def resolve_ground_state(
         energy, psi = scale.ground_state_large(op, num_iter=num_iter // 2 or 32)
     else:
         op.basis.build()
-        energy, psi = ed.ground_state(op, num_iter=num_iter, seed=0)
+        energy, psi = ed.ground_state(op, num_iter=num_iter, restarts=8, seed=0)
+        # Ritz-misconvergence guard: a restarted Lanczos can converge
+        # cleanly onto an excited state (it happened for kagome-18 — the
+        # E=-32.059 vector had overlap 0.013 with the true -32.193 ground
+        # state and silently poisoned every downstream sign metric). A
+        # second, independently seeded run must agree.
+        energy2, psi2 = ed.ground_state(op, num_iter=num_iter, restarts=8, seed=17)
+        if abs(energy - energy2) > 1e-6 * max(1.0, abs(energy)):
+            logger.warning(
+                "ED seeds disagree ({} vs {}); keeping the lower", energy, energy2
+            )
+        if energy2 < energy:
+            energy, psi = energy2, psi2
     logger.info(
         "Ground state energy is {} (diagonalised in {:.1f}s, dim {})",
         energy,
