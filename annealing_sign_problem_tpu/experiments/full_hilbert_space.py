@@ -136,6 +136,11 @@ def main(argv=None):
             )
             res = anneal(
                 model.ising_hamiltonian,
+                # start from the amplitude oracle's signs (the reference
+                # model carries them for exactly this purpose,
+                # common.py:205); zero-amplitude spins then hold the
+                # stored convention while everything coupled anneals
+                x0=model.initial_signs,
                 seed=int(rng.randint(1 << 31)),
                 number_sweeps=number_sweeps,
                 repetitions=args.repetitions,

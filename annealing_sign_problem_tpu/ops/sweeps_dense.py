@@ -165,7 +165,11 @@ def _dense_chunk(
         delta = -2.0 * s_f * (2.0 * local + field[b][:, None])
         key = jax.random.fold_in(base_key, step_index)
         u = jax.random.uniform(key, (M, R), dtype=jnp.float32)
-        accept = (delta <= 0) | (u < jnp.exp(-beta * delta))
+        # zero-delta moves are REJECTED: spins with no couplings (exactly
+        # zero-amplitude basis states are isolated Ising vertices —
+        # kagome-18 has 9.9% of them) keep their initial signs, the only
+        # convention under which sign accuracy on them is meaningful
+        accept = (delta != 0) & ((delta < 0) | (u < jnp.exp(-beta * delta)))
         S = jax.lax.dynamic_update_slice(
             S, jnp.where(accept, -s_cur, s_cur), (b * M, 0)
         )

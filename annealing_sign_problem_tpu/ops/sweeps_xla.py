@@ -211,7 +211,9 @@ def _sparse_chunk(
         delta = -2.0 * s_cur.astype(jnp.float32) * (2.0 * local + field[ids][:, None])
         key = jax.random.fold_in(base_key, step_index)
         u = jax.random.uniform(key, (M, R), dtype=jnp.float32)
-        accept = (delta <= 0) | (u < jnp.exp(-beta * delta))
+        # zero-delta moves rejected: isolated (zero-amplitude) spins keep
+        # their initial signs — see sweeps_dense.py
+        accept = (delta != 0) & ((delta < 0) | (u < jnp.exp(-beta * delta)))
         S = S.at[ids].set(jnp.where(accept, -s_cur, s_cur))
         # energy bookkeeping in f64: tiny (R,) arrays, keeps the best-state
         # selection honest over hundreds of thousands of sweeps
