@@ -58,6 +58,13 @@ def parse_command_line(argv=None):
     parser.add_argument("--trials", type=int, default=10)
     parser.add_argument("--seed", type=int, default=12345)
     parser.add_argument(
+        "--schedule", choices=["linear", "geometric"], default="linear",
+        help="linear-T cooling (fast dominant-scale convergence) or the "
+             "geometric ramp (equal sweeps per coupling decade — needed "
+             "when the smallest-amplitude signs must order, e.g. "
+             "kagome-18's deep tail)",
+    )
+    parser.add_argument(
         "--resume", action="store_true",
         help="skip sweep counts already present in --output (long runs "
              "through a flaky device link restart where they left off)",
@@ -146,6 +153,7 @@ def main(argv=None):
                 repetitions=args.repetitions,
                 only_best=False,
                 plan=plan,
+                schedule=args.schedule,
             )
             results[trial] = analyze_trial(res, exact_bits, weights, energy)
             logger.info(

@@ -89,8 +89,12 @@ def estimate_betas(
         beta0 = float(np.log(2.0) / max_delta_e)
     min_delta_e = 4.0 * absw.min()
     beta1 = float(np.log(100.0) / max(min_delta_e, 1e-300))
-    # keep the window within ~14 decades so float32 exp(-beta*delta) stays sane
-    beta1 = min(beta1, beta0 * 1e14)
+    # the window may span ~30 decades (kagome-18's smallest amplitudes
+    # produce couplings ~1e-30): f32 handles it — exp(-beta*delta)
+    # underflows to 0 (reject) for uphill moves and overflows to +inf
+    # (accept) for downhill, both exactly the T->0 limit we want; only
+    # cap where beta itself would overflow f32
+    beta1 = min(beta1, 1e36)
     return beta0, beta1
 
 
