@@ -79,8 +79,9 @@ def main():
     NB, M, Kp = plan.J.shape
     log(f"K = {K}, colors = {plan.num_colors}, dense blocks = {NB}x{M}, Kp = {Kp}")
 
-    # compile the timed shape once
-    T = 3200
+    # compile the timed shape once (6400 sweeps: a reference curve point
+    # long enough to amortise the fixed descent/transfer overhead)
+    T = 6400
     anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan)
 
     # timed runs (the tunnel to the device can be noisy; take the best)
@@ -105,7 +106,7 @@ def main():
     log(f"sparse engine: {rs.flips_per_second:.4g} flips/s")
 
     # quality check on the first timed run (reference curve point: the
-    # `make small` schedule gives P(acc>0.995) = 0.766 at 3200 sweeps,
+    # `make small` schedule gives P(acc>0.995) = 0.842 at 6400 sweeps,
     # experiments/heisenberg_kagome_16.csv)
     accs = np.array(
         [
@@ -114,7 +115,7 @@ def main():
         ]
     )
     p_acc = float(np.mean(accs > 0.995))
-    log(f"P(acc>0.995) @ {T} sweeps: {p_acc:.3f} (reference: 0.766)")
+    log(f"P(acc>0.995) @ {T} sweeps: {p_acc:.3f} (reference: 0.842)")
 
     print(
         json.dumps(
@@ -126,8 +127,8 @@ def main():
                 "details": {
                     "dense_mfu_bf16": round(mfu, 3),
                     "sparse_engine_flips_per_s": rs.flips_per_second,
-                    "p_acc_gt_0995_at_3200_sweeps": p_acc,
-                    "reference_p_acc": 0.766,
+                    "p_acc_gt_0995_at_6400_sweeps": p_acc,
+                    "reference_p_acc": 0.842,
                 },
             }
         )
