@@ -23,7 +23,7 @@ import numpy as np
 from ..amplitudes import determine_exact_solution, ground_state_to_log_coeff_fn
 from ..bits import bits_to_signs, bits_to_signs_batched, signs_to_bits_batched
 from ..ising import make_ising_model
-from ..ops.sweeps_dense import dense_plan_bytes, make_dense_plan
+from ..ops.sweeps_dense import make_dense_plan
 from ..ops.sweeps_xla import make_color_plan
 from ..solvers import anneal
 from ..solvers.sa import DENSE_BYTES_LIMIT, uninformative_spins
@@ -69,6 +69,20 @@ def parse_command_line(argv=None):
         help="skip sweep counts already present in --output (long runs "
              "through a flaky device link restart where they left off)",
     )
+    parser.add_argument(
+        "--x0", choices=["random", "oracle"], default="random",
+        help="replica initialisation: 'random' matches the reference "
+             "benchmark (its sa.anneal call passes no x0, common.py:242-"
+             "248); 'oracle' warm-starts every replica at the amplitude "
+             "oracle's signs (NOT comparable to the reference curves)",
+    )
+    parser.add_argument(
+        "--pin-noise-floor", action="store_true",
+        help="overwrite spins whose couplings sit below 1e-12 of the "
+             "strongest with the oracle's sign convention before the "
+             "metrics (opt-in: changes accuracy semantics vs the "
+             "reference, which scores every spin as predicted)",
+    )
     return parser.parse_args(argv)
 
 
@@ -110,27 +124,37 @@ def main(argv=None):
 
     log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
     model = make_ising_model(op.basis.states, op, log_psi_fn=log_fn)
-    # the dense MXU engine when the coupling tensor fits (every reference
-    # small system); the gather engine otherwise
-    if dense_plan_bytes(model.size) <= DENSE_BYTES_LIMIT:
-        plan = make_dense_plan(model.ising_hamiltonian)
+    # the dense MXU engine when the densified coupling tensor fits the
+    # per-program buffer cap (every reference small system except
+    # kagome-18); the gather engine otherwise — decided on the EXACT
+    # footprint with the coloring computed once and reused
+    from ..solvers.coloring import greedy_coloring
+    from ..ops.sweeps_dense import dense_plan_bytes_exact
+
+    colors = greedy_coloring(model.ising_hamiltonian.exchange)
+    if dense_plan_bytes_exact(colors, model.size) <= DENSE_BYTES_LIMIT:
+        plan = make_dense_plan(model.ising_hamiltonian, colors=colors)
     else:
-        plan = make_color_plan(model.ising_hamiltonian)
+        plan = make_color_plan(model.ising_hamiltonian, colors=colors)
     exact_bits = determine_exact_solution(op.basis.states, op, psi)
     weights = psi**2
     # the Ising ground-state energy equals the quantum energy at exact signs
     energy = model.ising_hamiltonian.energy(exact_bits)
     logger.info("E(exact signs) = {} (quantum: {})", energy, energy_quantum)
     # spins whose couplings sit below the eigensolver noise floor carry no
-    # sign information (kagome-18: 9.9% exact zeros) — pin them to the
-    # oracle's convention per replica before the metrics
+    # sign information (kagome-18: 9.9% exactly-zero amplitudes); report
+    # their count, and patch them to the oracle's convention only on the
+    # explicit --pin-noise-floor opt-in
     noise_mask = uninformative_spins(model.ising_hamiltonian)
     x0_signs = bits_to_signs(model.initial_signs, model.size)
     if noise_mask.any():
         logger.info(
-            "{} spins ({:.1%}) below the coupling noise floor are pinned "
-            "to the oracle's sign convention",
+            "{} spins ({:.1%}) sit below the coupling noise floor "
+            "(uninformative); {}",
             int(noise_mask.sum()), noise_mask.mean(),
+            "pinning to the oracle's sign convention"
+            if args.pin_noise_floor
+            else "scored as predicted (reference semantics)",
         )
 
     sweeps = list(map(int, args.number_sweeps.split(",")))
@@ -154,11 +178,7 @@ def main(argv=None):
             )
             res = anneal(
                 model.ising_hamiltonian,
-                # start from the amplitude oracle's signs (the reference
-                # model carries them for exactly this purpose,
-                # common.py:205); zero-amplitude spins then hold the
-                # stored convention while everything coupled anneals
-                x0=model.initial_signs,
+                x0=model.initial_signs if args.x0 == "oracle" else None,
                 seed=int(rng.randint(1 << 31)),
                 number_sweeps=number_sweeps,
                 repetitions=args.repetitions,
@@ -166,7 +186,7 @@ def main(argv=None):
                 plan=plan,
                 schedule=args.schedule,
             )
-            if noise_mask.any():
+            if args.pin_noise_floor and noise_mask.any():
                 signs = bits_to_signs_batched(res.bits_all, model.size)
                 flip = np.where(
                     (signs == x0_signs[None, :]).mean(axis=1) >= 0.5, 1.0, -1.0

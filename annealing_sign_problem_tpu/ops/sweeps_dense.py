@@ -1,9 +1,10 @@
 """Dense MXU Metropolis engine for small/medium Ising models.
 
 Replaces the neighbour-gather engine (sweeps_xla.py) in the regime where
-the coupling matrix fits HBM densely (K up to ~5e4: every `make small`
-system and the bench workload). Rationale, measured on a v5e chip
-(kagome-16 full basis, K=12870, R=1024):
+the densified coupling tensor fits the relay's ~1.5 GB per-program buffer
+cap (solvers/sa.py DENSE_BYTES_LIMIT: K up to ~2e4 at f32 — kagome-16 /
+j1j2 / SK-16 full bases and the bench workload). Rationale, measured on a
+v5e chip (kagome-16 full basis, K=12870, R=1024):
 
 - the XLA row-gather S[nbr_ids] reaches ~13% of HBM peak and is ~50% of
   sweep time (12.2 -> 6.0 ms/sweep with the gather removed);
@@ -87,8 +88,35 @@ class DensePlan:
 
 
 def dense_plan_bytes(num_spins: int, block_size: int = 256) -> int:
-    """Estimated device bytes for the f32 dense coupling tensor."""
+    """Estimated device bytes for the f32 dense coupling tensor (assumes
+    ~8 blocks of color-class padding; use :func:`dense_plan_bytes_exact`
+    with a computed coloring when the decision matters)."""
     kp = ((num_spins + block_size - 1) // block_size + 8) * block_size
+    return 4 * kp * kp
+
+
+def dense_plan_bytes_exact(
+    colors: np.ndarray,
+    num_spins: int,
+    block_size: int = 256,
+    bucket: bool = False,
+) -> int:
+    """Exact device bytes of the (NB*M, NB*M) f32 coupling tensor that
+    :func:`make_dense_plan` would build for this coloring — each color
+    class pads separately, so high-color models exceed the 8-block
+    estimate of :func:`dense_plan_bytes`."""
+    from ..solvers.coloring import color_classes
+    from .sweeps_xla import _next_bucket
+
+    K = int(num_spins)
+    Kp = _next_bucket(K, 256) if bucket else K
+    nb = sum(
+        -(-len(cls) // block_size) for cls in color_classes(np.asarray(colors))
+    )
+    nb += -(-(Kp - K) // block_size)  # bucketed isolated-padding blocks
+    if bucket:
+        nb = _next_bucket(nb, 1)
+    kp = nb * block_size
     return 4 * kp * kp
 
 

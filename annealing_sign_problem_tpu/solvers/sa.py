@@ -21,6 +21,7 @@ from ..ising import IsingHamiltonian, IsingModel, binary_search
 from ..ops.sweeps_dense import (
     DensePlan,
     dense_plan_bytes,
+    dense_plan_bytes_exact,
     make_dense_plan,
     run_annealing_dense,
 )
@@ -52,7 +53,7 @@ class AnnealResult:
     bits: np.ndarray  # packed signs of the best replica
     energy: float  # its exact (float64) energy
     bits_all: np.ndarray  # (R, words) packed per-replica reported signs
-    # (final-after-descent by default; best-of-chain when descent_sweeps=0)
+    # (per-replica better of final-after-descent and best-of-chain)
     energies_all: np.ndarray  # (R,) exact per-replica energies
     trace_current: Optional[np.ndarray]  # (T, R) incremental energies
     trace_best: Optional[np.ndarray]  # (T, R) best-so-far energies
@@ -204,13 +205,16 @@ def anneal(
     picks by the coupling-tensor footprint; passing a prebuilt ``plan``
     (ColorPlan or DensePlan) pins the engine and skips plan construction.
 
-    The reported states are the FINAL configurations after the descent
-    phase — the descent runs on the sparse engine whose f32 VPU deltas
+    The reported states are, per replica, the better of (a) the FINAL
+    configuration after the descent phase and (b) the best-of-chain
+    snapshot. The descent runs on the sparse engine whose f32 VPU deltas
     are exact, so a replica that annealed into the ground-state basin
     lands on the exact optimum (the reference CSVs show residual == acc:
     its annealer's converged replicas recover the optimum exactly, which
-    MXU-truncated deltas alone cannot reproduce). ``descent_sweeps=0``
-    restores best-of-chain reporting.
+    MXU-truncated deltas alone cannot reproduce); the best-of-chain merge
+    guarantees a replica that visited a strictly better state mid-run
+    never reports a worse one. ``descent_sweeps=0`` restores pure
+    best-of-chain reporting.
 
     Returns (packed bits, energy) of the best replica when ``only_best``
     (common.py:242-248), otherwise an :class:`AnnealResult` carrying
@@ -221,22 +225,27 @@ def anneal(
     K = hamiltonian.size
     R = int(repetitions)
 
+    colors = None
     if plan is not None:
         engine = "dense" if isinstance(plan, DensePlan) else "sparse"
     elif engine == "auto":
-        engine = (
-            "dense"
-            if dense_plan_bytes(K, block_size or 256) <= DENSE_BYTES_LIMIT
-            else "sparse"
-        )
+        # color once, decide on the EXACT densified footprint (per-color
+        # padding can exceed the cheap estimate), reuse the coloring below
+        from .coloring import greedy_coloring
+
+        colors = greedy_coloring(hamiltonian.exchange)
+        exact = dense_plan_bytes_exact(colors, K, block_size or 256, bucket)
+        engine = "dense" if exact <= DENSE_BYTES_LIMIT else "sparse"
     if plan is None:
         if engine == "dense":
             plan = make_dense_plan(
-                hamiltonian, block_size=block_size or 256, bucket=bucket
+                hamiltonian, block_size=block_size or 256, colors=colors,
+                bucket=bucket,
             )
         else:
             plan = make_color_plan(
-                hamiltonian, block_size=block_size or 512, bucket=bucket
+                hamiltonian, block_size=block_size or 512, colors=colors,
+                bucket=bucket,
             )
     b0, b1 = estimate_betas(hamiltonian, schedule=schedule)
     if beta0 is None:
@@ -280,6 +289,15 @@ def anneal(
 
     # exact energies of the reported states (float64, host)
     energies = hamiltonian.energies(outS)
+    if descend:
+        # a replica may have visited a strictly better state mid-chain than
+        # where its final descent landed — report the better of the two
+        chainS = bestS[:, :K]
+        chain_e = hamiltonian.energies(chainS)
+        keep_chain = chain_e < energies
+        if keep_chain.any():
+            outS[keep_chain] = chainS[keep_chain]
+            energies[keep_chain] = chain_e[keep_chain]
     attempted = R * K * (T + (int(descent_sweeps) if descend else 0))
     logger.debug(
         "annealing: K={}, R={}, T={}, {:.3f}s, {:.3g} flips/s",
@@ -312,23 +330,35 @@ def solve_ising_model(
     repetitions: int = 64,
     only_best: bool = True,
     bucket: bool = False,
+    warm_start: bool = False,
+    pin_noise_floor: bool = False,
 ) -> np.ndarray:
     """Solver dispatch matching the reference (common.py:232-261): mode
     'sa' or 'greedy'; ``frozen_spins`` restricts the returned bits to a
     sub-cluster. ``bucket=True`` pads kernel shapes to powers of two so
     heterogeneous cluster streams avoid per-model recompiles.
 
-    Isolated spins — zero couplings and field, i.e. exactly-zero-amplitude
-    basis states (kagome-18 has 9.9% of them) — carry no sign information;
-    both solvers pin them to the model's initial (oracle) signs, the only
-    convention under which sign metrics on them are meaningful. The SA
-    path does this by starting from x0 with zero-delta moves rejected;
-    the greedy result is patched explicitly.
+    Defaults match the reference exactly: SA replicas start at RANDOM
+    configurations (the reference's ``sa.anneal`` call passes no x0,
+    common.py:242-248) and the output is the solver's verbatim prediction.
+    Two explicit opt-ins deviate from that for documented reasons:
+
+    - ``warm_start=True`` seeds every replica with the model's initial
+      (amplitude-oracle) signs — useful inside the SA<->NN loop where the
+      network's prediction is a genuine prior, but NOT for benchmarking
+      against the reference's random-start curves.
+    - ``pin_noise_floor=True`` overwrites spins whose couplings sit below
+      1e-12 of the strongest one with the oracle's sign convention
+      (kagome-18's exact ground state has 9.9% exactly-zero amplitudes —
+      no coupling can determine those signs). This changes the metric
+      semantics vs the reference, which scores every spin as predicted;
+      prefer reporting accuracy restricted to informative spins
+      (``uninformative_spins``) over patching the prediction.
     """
     if mode == "sa":
         x, _ = anneal(
             model.ising_hamiltonian,
-            x0=model.initial_signs,
+            x0=model.initial_signs if warm_start else None,
             seed=seed,
             number_sweeps=number_sweeps,
             repetitions=repetitions,
@@ -341,7 +371,8 @@ def solve_ising_model(
         raise ValueError(
             f"invalid mode specified: '{mode}'; expected either 'sa' or 'greedy'"
         )
-    x = pin_uninformative_signs(model.ising_hamiltonian, x, model.initial_signs)
+    if pin_noise_floor:
+        x = pin_uninformative_signs(model.ising_hamiltonian, x, model.initial_signs)
 
     if frozen_spins is not None:
         frozen_indices = binary_search(model.spins, _bits.spins_to_array(frozen_spins))
