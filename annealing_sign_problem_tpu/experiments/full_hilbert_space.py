@@ -83,6 +83,14 @@ def parse_command_line(argv=None):
              "metrics (opt-in: changes accuracy semantics vs the "
              "reference, which scores every spin as predicted)",
     )
+    parser.add_argument(
+        "--fused-trials", action="store_true",
+        help="run all trials' replicas as ONE device launch of "
+             "trials*repetitions chains, then split the statistics into "
+             "per-trial groups of --repetitions. Statistically identical "
+             "to sequential trials (every chain has an independent seed "
+             "and start) and far better MXU utilisation",
+    )
     return parser.parse_args(argv)
 
 
@@ -165,43 +173,71 @@ def main(argv=None):
         with open(args.output, "w") as f:
             f.write(",".join(CSV_COLUMNS) + "\n")
 
+    def run_one(number_sweeps: int, repetitions: int):
+        res = anneal(
+            model.ising_hamiltonian,
+            x0=model.initial_signs if args.x0 == "oracle" else None,
+            seed=int(rng.randint(1 << 31)),
+            number_sweeps=number_sweeps,
+            repetitions=repetitions,
+            only_best=False,
+            plan=plan,
+            schedule=args.schedule,
+        )
+        if args.pin_noise_floor and noise_mask.any():
+            signs = bits_to_signs_batched(res.bits_all, model.size)
+            flip = np.where(
+                (signs == x0_signs[None, :]).mean(axis=1) >= 0.5, 1.0, -1.0
+            )
+            signs *= flip[:, None]
+            signs[:, noise_mask] = x0_signs[noise_mask]
+            res.bits_all = signs_to_bits_batched(signs)
+            res.energies_all = model.ising_hamiltonian.energies(signs)
+        return res
+
     for number_sweeps in sweeps:
         if number_sweeps in done_sweeps:
             continue
         results = np.zeros((args.trials, 3))
-        for trial in range(args.trials):
+        if args.fused_trials:
             logger.info(
-                "[{}/{}] Running Simulated Annealing for {} sweeps...",
-                trial + 1,
-                args.trials,
-                number_sweeps,
+                "Running {} trials x {} replicas fused for {} sweeps...",
+                args.trials, args.repetitions, number_sweeps,
             )
-            res = anneal(
-                model.ising_hamiltonian,
-                x0=model.initial_signs if args.x0 == "oracle" else None,
-                seed=int(rng.randint(1 << 31)),
-                number_sweeps=number_sweeps,
-                repetitions=args.repetitions,
-                only_best=False,
-                plan=plan,
-                schedule=args.schedule,
-            )
-            if args.pin_noise_floor and noise_mask.any():
-                signs = bits_to_signs_batched(res.bits_all, model.size)
-                flip = np.where(
-                    (signs == x0_signs[None, :]).mean(axis=1) >= 0.5, 1.0, -1.0
+            res = run_one(number_sweeps, args.trials * args.repetitions)
+            for trial in range(args.trials):
+                sl = slice(trial * args.repetitions, (trial + 1) * args.repetitions)
+                sub = type(res)(
+                    bits=res.bits,
+                    energy=res.energy,
+                    bits_all=res.bits_all[sl],
+                    energies_all=res.energies_all[sl],
+                    trace_current=None,
+                    trace_best=None,
+                    attempted_flips=res.attempted_flips,
+                    elapsed=res.elapsed,
                 )
-                signs *= flip[:, None]
-                signs[:, noise_mask] = x0_signs[noise_mask]
-                res.bits_all = signs_to_bits_batched(signs)
-                res.energies_all = model.ising_hamiltonian.energies(signs)
-            results[trial] = analyze_trial(res, exact_bits, weights, energy)
+                results[trial] = analyze_trial(sub, exact_bits, weights, energy)
             logger.info(
-                "P(acc) = {:.4f}, P(overlap) = {:.4f}, P(residual) = {:.4f} "
-                "({:.3g} flips/s)",
-                *results[trial],
-                res.flips_per_second,
+                "P(acc) = {:.4f} +- {:.4f} ({:.3g} flips/s)",
+                results[:, 0].mean(), results[:, 0].std(), res.flips_per_second,
             )
+        else:
+            for trial in range(args.trials):
+                logger.info(
+                    "[{}/{}] Running Simulated Annealing for {} sweeps...",
+                    trial + 1,
+                    args.trials,
+                    number_sweeps,
+                )
+                res = run_one(number_sweeps, args.repetitions)
+                results[trial] = analyze_trial(res, exact_bits, weights, energy)
+                logger.info(
+                    "P(acc) = {:.4f}, P(overlap) = {:.4f}, P(residual) = {:.4f} "
+                    "({:.3g} flips/s)",
+                    *results[trial],
+                    res.flips_per_second,
+                )
 
         row = [number_sweeps]
         for col in range(3):

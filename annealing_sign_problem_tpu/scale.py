@@ -447,6 +447,7 @@ def ground_state_codebook(
     thick: int = 6,
     checkpoint_path: Optional[str] = None,
     low_memory: bool = True,
+    gather_mode: str = "row128",
 ) -> Tuple[float, np.ndarray]:
     """Ground state of a basis whose f32 neighbour table exceeds HBM.
 
@@ -633,23 +634,65 @@ def ground_state_codebook(
 
     m = min(num_iter, K)
 
-    def make_matvec(dt):
-        """Table matvec for the two-pass (no stored V) driver."""
-        rows = Kp // row_slices
+    def make_matvec(dt, gather_mode: str = "row128"):
+        """Table matvec for the two-pass (no stored V) driver.
+
+        ``gather_mode="element"`` is the round-2 design: one random
+        1-element gather per table entry — latency-bound at ~50M
+        gathers/s on the relay-attached v5e (a 2.2e9-entry kagome-36
+        matvec costs ~50-70 s). ``"row128"`` restructures every lookup
+        as a 512-byte aligned ROW gather from v viewed as (Kp/128, 128)
+        — each fetch moves a full lane tile, the layout TPUs stream at
+        HBM bandwidth — and recovers the exact element with a fused
+        one-hot lane select; the 7-bit codebook id decodes through a
+        one-hot compare-select too (an element gather from even a
+        128-entry table would reintroduce the latency wall).
+        """
+        nl = 128  # lane-tile width of the row-gather view
+        if gather_mode == "row128" and Kp % nl != 0:
+            gather_mode = "element"  # tiny test bases only
+        # transient per scan slice: (span, rows, 128) f32 — keep < ~100 MB
+        if gather_mode == "row128":
+            slices = 2048
+            while Kp % slices:
+                slices //= 2
+        else:
+            slices = row_slices
+        rows = Kp // slices
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def tp_pass(acc, wbuf, v, cb):
             cbt = cb.astype(dt)
             span = wbuf.shape[0]
-            w3 = wbuf.reshape(span, row_slices, rows)
+            w3 = wbuf.reshape(span, slices, rows)
+            if gather_mode == "row128":
+                v2 = v.reshape(Kp // nl, nl)
+                lane_iota = jax.lax.iota(jnp.int32, nl)
+                code_iota = jax.lax.iota(jnp.int32, cb.shape[0])
 
-            def mv_slice(_, si):
-                wd = w3[:, si]
-                idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
-                code = (wd >> 25).astype(jnp.int32)
-                return None, jnp.sum(cbt[code] * v[idx], axis=0)
+                def mv_slice(_, si):
+                    wd = w3[:, si]  # (span, rows)
+                    idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                    code = (wd >> 25).astype(jnp.int32)
+                    tiles = v2[idx >> 7]  # (span, rows, 128) row gather
+                    cval = jnp.sum(
+                        jnp.where(code[..., None] == code_iota, cbt, 0), axis=-1
+                    )
+                    sel = jnp.where(
+                        (idx & (nl - 1))[..., None] == lane_iota,
+                        cval[..., None],
+                        jnp.zeros((), dt),
+                    )
+                    return None, jnp.sum(tiles * sel, axis=(0, 2))
+            else:
 
-            _, p = jax.lax.scan(mv_slice, None, jnp.arange(row_slices))
+                def mv_slice(_, si):
+                    wd = w3[:, si]
+                    idx = (wd & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                    code = (wd >> 25).astype(jnp.int32)
+                    return None, jnp.sum(cbt[code] * v[idx], axis=0)
+
+            _, p = jax.lax.scan(mv_slice, None, jnp.arange(slices))
             return acc + p.reshape(-1)
 
         @jax.jit
@@ -738,15 +781,16 @@ def ground_state_codebook(
         from .sector import two_pass_lanczos
 
         theta, x = two_pass_lanczos(
-            make_matvec(jnp.float32), K, Kp, num_iter=m, restarts=restarts,
-            tol=tol, v0_host=rng.standard_normal(K),
+            make_matvec(jnp.float32, gather_mode), K, Kp, num_iter=m,
+            restarts=restarts, tol=tol, v0_host=rng.standard_normal(K),
             checkpoint_path=checkpoint_path, dtype=jnp.float32,
             name="codebook f32 (two-pass)",
         )
         if polish_restarts > 0:
             ckpt64 = None if checkpoint_path is None else checkpoint_path + ".f64.npz"
             theta, x = two_pass_lanczos(
-                make_matvec(jnp.float64), K, Kp, num_iter=min(polish_iter, m),
+                make_matvec(jnp.float64, gather_mode), K, Kp,
+                num_iter=min(polish_iter, m),
                 restarts=polish_restarts, tol=tol, v0_host=x,
                 checkpoint_path=ckpt64, dtype=jnp.float64,
                 name="codebook f64 (two-pass)", theta0=theta,

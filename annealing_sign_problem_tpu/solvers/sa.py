@@ -25,6 +25,7 @@ from ..ops.sweeps_dense import (
     make_dense_plan,
     run_annealing_dense,
 )
+from ..ops.sweeps_slab import SlabPlan, make_slab_plan, run_annealing_slab
 from ..ops.sweeps_xla import ColorPlan, make_color_plan, run_annealing
 from ..utils.log import logger
 from . import greedy as _greedy
@@ -32,8 +33,11 @@ from . import greedy as _greedy
 # the dense MXU engine materialises the couplings as one (Kp, Kp) f32
 # tensor; the live relay rejects programs touching buffers much beyond
 # ~1.5 GB (RESOURCE_EXHAUSTED regardless of free HBM — see RESULTS.md),
-# so beyond this budget fall back to the sparse gather engine
+# so beyond this budget the multi-slab engine splits J into resident
+# sub-cap buffers (one pipelined dispatch per slab per sweep), and only
+# past the HBM-resident budget falls back to the sparse gather engine
 DENSE_BYTES_LIMIT = 3 << 29
+SLAB_TOTAL_LIMIT = 10 << 30  # resident J budget (HBM 16 GB minus state)
 
 __all__ = [
     "anneal",
@@ -226,8 +230,13 @@ def anneal(
     R = int(repetitions)
 
     colors = None
+    slab_dtype = "float32"
     if plan is not None:
-        engine = "dense" if isinstance(plan, DensePlan) else "sparse"
+        engine = (
+            "dense" if isinstance(plan, DensePlan)
+            else "slab" if isinstance(plan, SlabPlan)
+            else "sparse"
+        )
     elif engine == "auto":
         # color once, decide on the EXACT densified footprint (per-color
         # padding can exceed the cheap estimate), reuse the coloring below
@@ -235,12 +244,24 @@ def anneal(
 
         colors = greedy_coloring(hamiltonian.exchange)
         exact = dense_plan_bytes_exact(colors, K, block_size or 256, bucket)
-        engine = "dense" if exact <= DENSE_BYTES_LIMIT else "sparse"
+        if exact <= DENSE_BYTES_LIMIT:
+            engine = "dense"
+        elif exact <= SLAB_TOTAL_LIMIT:
+            engine = "slab"
+        elif exact // 2 <= SLAB_TOTAL_LIMIT:
+            engine, slab_dtype = "slab", "bfloat16"
+        else:
+            engine = "sparse"
     if plan is None:
         if engine == "dense":
             plan = make_dense_plan(
                 hamiltonian, block_size=block_size or 256, colors=colors,
                 bucket=bucket,
+            )
+        elif engine == "slab":
+            plan = make_slab_plan(
+                hamiltonian, block_size=block_size or 256, colors=colors,
+                bucket=bucket, j_dtype=slab_dtype,
             )
         else:
             plan = make_color_plan(
@@ -266,6 +287,14 @@ def anneal(
     if engine == "dense":
         S, _, bestS, bestE_approx, trace = run_annealing_dense(
             plan, signs0, betas, seed=seed, track_trace=track_trace,
+            need_final=descend,
+        )
+    elif engine == "slab":
+        if track_trace:
+            logger.warning("slab engine does not record energy traces")
+        S, _, bestS, bestE_approx, trace = run_annealing_slab(
+            plan, signs0, betas, seed=seed,
+            energies0=hamiltonian.energies(signs0),
             need_final=descend,
         )
     else:
