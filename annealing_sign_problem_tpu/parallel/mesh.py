@@ -31,6 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.sweeps_dense import (
+    DensePlan,
+    _dense_chunk,
+    _dense_init,
+)
 from ..ops.sweeps_xla import (
     ColorPlan,
     _pack_device,
@@ -44,6 +49,7 @@ from ..utils.log import logger
 __all__ = [
     "make_mesh",
     "anneal_sharded",
+    "anneal_sharded_dense",
     "train_step_data_parallel",
     "sharded_matvec_fn",
     "distribute_clusters",
@@ -121,6 +127,85 @@ def anneal_sharded(
         )
         start += n
     return _unpack_words(np.asarray(_pack_device(bestS)), K), np.asarray(bestE)
+
+
+def anneal_sharded_dense(
+    plan: DensePlan,
+    x0_signs: np.ndarray,  # (R, K) ±1, R divisible by mesh size
+    betas: np.ndarray,
+    seed: int,
+    mesh: Mesh,
+    sweeps_per_chunk: int = 512,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Replica-sharded annealing on the dense MXU engine; returns
+    (best signs (R, K), best energies (R,)).
+
+    Mirrors :func:`anneal_sharded` for the fast engine: the replica
+    (lane) axis of the (Kp, R) state is sharded over the mesh, the dense
+    coupling tensor is replicated, and chains never communicate — each
+    chip runs its replica slice's block matmuls locally, so ICI carries
+    only the final packed words."""
+    axis = mesh.axis_names[0]
+    R, K0 = x0_signs.shape
+    K = plan.num_spins
+    n_dev = mesh.devices.size
+    if R % n_dev != 0:
+        raise ValueError(f"repetitions ({R}) must be divisible by mesh size ({n_dev})")
+    if K0 < K:
+        x0_signs = np.concatenate(
+            [x0_signs, np.ones((R, K - K0), dtype=x0_signs.dtype)], axis=1
+        )
+    NB, M, Kp = plan.J.shape
+
+    repl = NamedSharding(mesh, P())
+    lane_sharded = NamedSharding(mesh, P(None, axis))
+    e_sharded = NamedSharding(mesh, P(axis))
+
+    # block-major reorder (run_annealing_dense semantics)
+    ext = np.ones((K + 1, R), dtype=np.float64)
+    ext[:K] = x0_signs.T
+    S_host = ext[plan.perm]
+
+    init = jax.jit(
+        functools.partial(_dense_init, num_spins=K),
+        in_shardings=(repl, repl, lane_sharded),
+        out_shardings=(lane_sharded, e_sharded),
+    )
+    J_dev = jnp.asarray(plan.J, dtype=jnp.float32)
+    field_dev = jnp.asarray(plan.field)
+    words = _pack_words_host(np.ascontiguousarray(S_host.T))
+    S, E = init(J_dev, field_dev, jnp.asarray(words))
+    bestS, bestE = S, E
+
+    T = len(betas)
+    chunk_shapes = sorted(
+        {min(sweeps_per_chunk, T - s) for s in range(0, T, sweeps_per_chunk)}
+    )
+    chunks = {
+        n: jax.jit(
+            functools.partial(_dense_chunk, num_sweeps=n, track_trace=False),
+            in_shardings=(repl, repl, lane_sharded, e_sharded, lane_sharded,
+                          e_sharded, repl, repl, repl),
+            out_shardings=(lane_sharded, e_sharded, lane_sharded, e_sharded, None),
+        )
+        for n in chunk_shapes
+    }
+    seed32 = jnp.uint32(seed & 0xFFFFFFFF)
+    start = 0
+    while start < T:
+        n = min(sweeps_per_chunk, T - start)
+        S, E, bestS, bestE, _ = chunks[n](
+            J_dev, field_dev, S, E, bestS, bestE,
+            jnp.asarray(betas[start : start + n], dtype=jnp.float32),
+            seed32, jnp.int32(start * NB),
+        )
+        start += n
+
+    signs_blocked = _unpack_words(np.asarray(_pack_device(bestS)), Kp)  # (R, Kp)
+    out = np.empty((R, K), dtype=np.float64)
+    real = plan.perm != K
+    out[:, plan.perm[real]] = signs_blocked[:, real]
+    return out, np.asarray(bestE)
 
 
 _DP_STEP_CACHE: dict = {}

@@ -42,13 +42,16 @@ def anneal_batched(
     number_sweeps: int = 5120,
     repetitions: int = 64,
     block_size: int = 512,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Anneal all models simultaneously; returns per-model packed bits of
     the per-model best replica.
 
     The β schedule spans the coupling scales of the whole batch (a
     geometric ramp is scale-local, so heterogeneous clusters coexist on
-    one schedule).
+    one schedule). With ``mesh`` the replica axis shards over the device
+    mesh (parallel.anneal_sharded): the cluster-stream batching and the
+    multi-chip replica scatter compose.
     """
     if len(models) == 0:
         return []
@@ -64,7 +67,12 @@ def anneal_batched(
 
     rng = np.random.RandomState(seed)
     x0 = 2.0 * rng.randint(0, 2, size=(repetitions, K)).astype(np.float64) - 1.0
-    _, _, bestS, _, _ = run_annealing(plan, x0, betas, seed=seed)
+    if mesh is not None:
+        from ..parallel.mesh import anneal_sharded
+
+        bestS, _ = anneal_sharded(plan, x0, betas, seed=seed, mesh=mesh)
+    else:
+        _, _, bestS, _, _ = run_annealing(plan, x0, betas, seed=seed)
 
     # per-model, per-replica exact energies -> per-model best replica
     results = []
