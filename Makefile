@@ -52,6 +52,7 @@ experiments/%.csv:
 		--number-sweeps 100,200,400,800,1600,3200,6400,12800,25600,51200,102400,204800 \
 		--repetitions 1024 \
 		--trials $(TRIALS) \
+		--fused-trials \
 		--resume && \
 	mv $@.wip $@
 

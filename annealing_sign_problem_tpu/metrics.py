@@ -26,11 +26,19 @@ def compute_accuracy_and_overlap(
     exact: np.ndarray,
     weights: Optional[np.ndarray] = None,
     number_spins: Optional[int] = None,
+    informative_mask: Optional[np.ndarray] = None,
 ) -> Tuple[float, float]:
     """Sign accuracy (fraction of matching signs, max over the global flip)
     and weighted sign overlap |sum_i s_exact s_pred w_i| / sum w.
 
     ``predicted``/``exact`` are packed-bit sign vectors (common.py:211-229).
+    Default semantics match the reference exactly: every spin is scored
+    as predicted. ``informative_mask`` (e.g. ``~uninformative_spins(h)``)
+    restricts the ACCURACY denominator to spins whose couplings carry
+    sign information — the honest alternative when the exact ground state
+    has strictly-zero amplitudes (kagome-18: 9.9% of the sector), whose
+    stored "exact" signs are arbitrary conventions no solver can recover.
+    Overlap is unaffected (zero-amplitude spins carry zero weight).
     """
     if weights is None and number_spins is None:
         raise ValueError("'weights' and 'number_spins' cannot be both None")
@@ -42,7 +50,10 @@ def compute_accuracy_and_overlap(
 
     predicted_signs = _bits.bits_to_signs(predicted, number_spins)
     exact_signs = _bits.bits_to_signs(exact, number_spins)
-    accuracy = float(np.mean(exact_signs == predicted_signs))
+    agree = exact_signs == predicted_signs
+    if informative_mask is not None:
+        agree = agree[np.asarray(informative_mask, dtype=bool)]
+    accuracy = float(np.mean(agree)) if agree.size else 1.0
     accuracy = max(accuracy, 1.0 - accuracy)
     overlap = float(
         abs(np.dot(exact_signs * predicted_signs, weights / np.sum(weights)))

@@ -179,3 +179,51 @@ def test_coupling_distribution(ring8):
     nz = hist[hist > 0]
     # rank-ordered means are non-increasing
     assert np.all(np.diff(nz) <= 1e-12)
+
+
+def test_metric_variants_raw_restricted_pinned():
+    """VERDICT r2 item 6: the three accuracy semantics are distinct and
+    behave as documented on a model with uninformative (isolated) spins."""
+    import numpy as np
+    import scipy.sparse
+
+    from annealing_sign_problem_tpu import bits
+    from annealing_sign_problem_tpu.ising import IsingHamiltonian
+    from annealing_sign_problem_tpu.metrics import compute_accuracy_and_overlap
+    from annealing_sign_problem_tpu.solvers.sa import (
+        pin_uninformative_signs,
+        uninformative_spins,
+    )
+
+    # 8 coupled spins in a chain + 4 isolated (zero-amplitude) spins
+    n, iso = 12, 4
+    rows = np.arange(n - iso - 1)
+    cols = rows + 1
+    vals = -np.ones(n - iso - 1)
+    m = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    h = IsingHamiltonian((0.5 * (m + m.T)).tocsr(), np.zeros(n))
+
+    mask = uninformative_spins(h)
+    assert mask.sum() == iso and mask[-iso:].all()
+
+    exact = np.ones(n)
+    weights = np.concatenate([np.ones(n - iso), np.zeros(iso)])
+    # prediction: coupled spins all correct, isolated spins all wrong
+    pred = exact.copy()
+    pred[-iso:] = -1.0
+    pred_bits = bits.signs_to_bits(pred)
+    exact_bits = bits.signs_to_bits(exact)
+
+    raw_acc, raw_ov = compute_accuracy_and_overlap(pred_bits, exact_bits, weights)
+    assert raw_acc == (n - iso) / n  # reference semantics: every spin scored
+    assert raw_ov == 1.0  # zero-weight spins cannot move the overlap
+
+    restr_acc, _ = compute_accuracy_and_overlap(
+        pred_bits, exact_bits, weights, informative_mask=~mask
+    )
+    assert restr_acc == 1.0
+
+    # pinning patches the prediction itself to the oracle's convention
+    pinned = pin_uninformative_signs(h, pred_bits, exact_bits)
+    pin_acc, _ = compute_accuracy_and_overlap(pinned, exact_bits, weights)
+    assert pin_acc == 1.0
