@@ -125,6 +125,7 @@ def compute_local_energy_for_sample(
         x = solve_ising_model(
             model, mode=mode, seed=seed,
             number_sweeps=number_sweeps, repetitions=repetitions,
+            bucket=True,  # bounded kernel-shape set across the sample stream
         )
         signs = _bits.bits_to_signs(x, model.size)
         # gauge-fix against the amplitude oracle's own signs so independent
@@ -159,12 +160,24 @@ def _network_amplitude_oracle(op, psi, args, rng):
     import jax
     import jax.numpy as jnp
 
-    from ..models.nqs import LogAmplitudeMLP, pretrain_amplitude
+    from ..models.nqs import (
+        LogAmplitudeConv3D,
+        LogAmplitudeMLP,
+        pretrain_amplitude,
+        pyrochlore_translations,
+        symmetrize_log_amplitude,
+    )
     from ..train.mcmc import hamiltonian_moves, zanella_sample
 
     basis = op.basis
     n = basis.number_spins
-    model = LogAmplitudeMLP(number_spins=n, features=(args.width,) * args.depth)
+    if args.model == "cnn":
+        if n != 32:
+            raise ValueError("the 3D-CNN amplitude net is the 32-site "
+                             "pyrochlore layout (2x2x2 cells x 4 sublattices)")
+        model = LogAmplitudeConv3D(channels=(args.width // 4,) * args.depth)
+    else:
+        model = LogAmplitudeMLP(number_spins=n, features=(args.width,) * args.depth)
     log_amps = np.log(np.maximum(np.abs(psi), 1e-300))
     params, loss = pretrain_amplitude(
         model, basis.states, log_amps,
@@ -172,9 +185,20 @@ def _network_amplitude_oracle(op, psi, args, rng):
     )
     logger.info("amplitude network pre-trained: weighted MSE = {:.3e}", loss)
 
+    raw_apply = lambda s: model.apply(params, s)
+    if args.symmetrize:
+        # amplitude symmetrisation over the 2x2x2 cell translations
+        # (astrakhantsev_2021.py:210-254 combine_*_all_2x2x2)
+        net_apply = symmetrize_log_amplitude(
+            raw_apply, pyrochlore_translations(), n
+        )
+        logger.info("amplitude net symmetrised over 8 cell translations")
+    else:
+        net_apply = raw_apply
+
     def log_fn(spins):
         spins = np.asarray(spins, dtype=np.uint64)
-        a = np.asarray(model.apply(params, jnp.asarray(spins)), dtype=np.float64)
+        a = np.asarray(net_apply(jnp.asarray(spins)), dtype=np.float64)
         return a.astype(np.complex128)
 
     moves = jnp.asarray(hamiltonian_moves(op))
@@ -187,7 +211,7 @@ def _network_amplitude_oracle(op, psi, args, rng):
             basis.states, size=chains, p=np.abs(psi) ** 2 / np.sum(np.abs(psi) ** 2)
         )
         samples, weights = zanella_sample(
-            lambda s: model.apply(params, s),
+            net_apply,
             jnp.asarray(x0.astype(np.uint64)),
             jax.random.PRNGKey(args.seed + 1),
             number_spins=n,
@@ -217,6 +241,12 @@ def establish_baseline(argv=None):
     parser.add_argument("--pretrain-steps", type=int, default=2000)
     parser.add_argument("--width", type=int, default=96)
     parser.add_argument("--depth", type=int, default=2)
+    parser.add_argument("--model", choices=["mlp", "cnn"], default="mlp",
+                        help="'cnn': periodic 3D conv net on the 2x2x2x4 "
+                             "pyrochlore layout (astrakhantsev_2021's CNN)")
+    parser.add_argument("--symmetrize", action="store_true",
+                        help="logmeanexp-symmetrise amplitudes over the "
+                             "eight pyrochlore cell translations")
     parser.add_argument("--burn-in", type=int, default=50)
     parser.add_argument("--seed", type=int, default=12345)
     args = parser.parse_args(argv)
