@@ -52,6 +52,11 @@ class DensePlan:
     perm: np.ndarray  # (Kp,) reordered row -> original spin id (K = sentinel)
     num_spins: int  # K
     num_colors: int
+    # "float32" (default: converged replicas land on the true optimum) or
+    # "bfloat16" (halves the J + state footprint — the fused-trials curve
+    # runs at R ~ 1e4 need it to stay under the relay's per-program buffer
+    # cap; exactness is restored by the sparse-f32 descent phase)
+    j_dtype: str = "float32"
 
     @property
     def num_blocks(self) -> int:
@@ -79,8 +84,9 @@ class DensePlan:
         """
         cached = getattr(self, "_device", None)
         if cached is None:
+            dt = jnp.bfloat16 if self.j_dtype == "bfloat16" else jnp.float32
             cached = (
-                jnp.asarray(self.J, dtype=jnp.float32),
+                jnp.asarray(self.J, dtype=dt),
                 jnp.asarray(self.field),
             )
             object.__setattr__(self, "_device", cached)
@@ -125,6 +131,7 @@ def make_dense_plan(
     block_size: int = 256,
     colors: Optional[np.ndarray] = None,
     bucket: bool = False,
+    j_dtype: str = "float32",
 ) -> DensePlan:
     """Densify a ColorPlan into the block-major layout.
 
@@ -159,6 +166,7 @@ def make_dense_plan(
         perm=perm,
         num_spins=K,
         num_colors=plan.num_colors,
+        j_dtype=j_dtype,
     )
 
 
@@ -230,7 +238,7 @@ def _dense_init(J, field, init_words, num_spins: int):
     K = num_spins
     shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
     bits = ((init_words[:, None, :] >> shifts) & 1).reshape(W * 32, R)[:Kp]
-    S = (2 * bits.astype(jnp.int32) - 1).astype(jnp.float32)  # (Kp, R)
+    S = (2 * bits.astype(jnp.int32) - 1).astype(J.dtype)  # (Kp, R), J's dtype
 
     def energy_block(E, b):
         local = jnp.dot(J[b], S, preferred_element_type=jnp.float32)
