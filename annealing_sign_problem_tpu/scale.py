@@ -788,12 +788,17 @@ def ground_state_codebook(
         )
         if polish_restarts > 0:
             ckpt64 = None if checkpoint_path is None else checkpoint_path + ".f64.npz"
+            # theta0 deliberately NOT threaded from the f32 phase: f32
+            # Ritz values overshoot BELOW the true eigenvalue by ~1e-4
+            # near the f32 floor (observed on kagome-36), and a spuriously
+            # low best_theta makes every honest f64 value look like a
+            # regression
             theta, x = two_pass_lanczos(
                 make_matvec(jnp.float64, gather_mode), K, Kp,
                 num_iter=min(polish_iter, m),
                 restarts=polish_restarts, tol=tol, v0_host=x,
                 checkpoint_path=ckpt64, dtype=jnp.float64,
-                name="codebook f64 (two-pass)", theta0=theta,
+                name="codebook f64 (two-pass)",
             )
         return theta, x
 

@@ -22,9 +22,11 @@ scale.build_basis_at_scale(
     basis, cache_path="physical_systems/data-small/heisenberg_kagome_36_basis.npz"
 )
 op = operator_from_config(systems.get_system("heisenberg_kagome_36"), basis)
+# restarts=0: the f32 phase is done (checkpoint at E = -63.1262209,
+# 4e-7 above/at the f32 floor); go straight to the f64 polish
 energy, psi = scale.ground_state_codebook(
-    op, num_iter=64, restarts=12, chunk_size=2048, super_chunks=256,
-    polish_restarts=8, polish_iter=64, tol=1e-11,
+    op, num_iter=64, restarts=0, chunk_size=2048, super_chunks=256,
+    polish_restarts=4, polish_iter=64, tol=1e-10,
     block_cache_dir="/root/k36_blocks",
     checkpoint_path="/root/k36_ckpt.npz",
 )
