@@ -17,6 +17,7 @@ import argparse
 import dataclasses
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -129,6 +130,7 @@ def process_cluster(cluster, op, ground_state, noisy_ground_state, noisy_log_fn,
     results = []
     h = None
     for i in range(args.order + 1):
+        t0 = time.time()
         if i == 0:
             h = make_ising_model(cluster, op, log_psi_fn=noisy_log_fn)
             logger.debug("Extension {}: there are {} spins in the cluster", 0, h.size)
@@ -138,13 +140,18 @@ def process_cluster(cluster, op, ground_state, noisy_ground_state, noisy_log_fn,
                 "Extension {}: there are now {} spins in the cluster", i, h.size
             )
             h = sparsify_using_global_cutoff(h, args.global_cutoff, cluster)
-
+        t1 = time.time()
         r = solve_and_test_model(
             h, cluster, exact_signs, weights, args.annealing, args,
             seed=int(rng.randint(1 << 31)),
         )
+        t2 = time.time()
         r.amplitude_overlap = amplitude_overlap(
             h.spins, ground_state, noisy_ground_state, basis
+        )
+        logger.debug(
+            "order {}: build {:.1f}s, solve {:.1f}s, overlap {:.1f}s",
+            i, t1 - t0, t2 - t1, time.time() - t2,
         )
         results.append(r)
     return results
@@ -206,6 +213,7 @@ def main(argv=None):
     for i, rng in items:
         seed_spin = sampling.spins[i]
         size = random_cluster_size(args.min_cluster_size, args.max_cluster_size, rng)
+        t_grow = time.time()
         cluster = np.asarray(
             create_small_cluster_around_point(
                 seed_spin, op, required_size=size,
@@ -213,6 +221,7 @@ def main(argv=None):
             ),
             dtype=np.uint64,
         )
+        logger.debug("cluster {}: grown to {} in {:.1f}s", i, len(cluster), time.time() - t_grow)
         columns = process_cluster(cluster, op, psi, noisy_psi, noisy_log_fn, args, rng)
         line = ",".join(r.to_csv_str() for r in columns)
         with open(out_path, "a") as f:
