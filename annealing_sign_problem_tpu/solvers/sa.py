@@ -169,15 +169,21 @@ def pin_uninformative_signs(
     return _bits.signs_to_bits(signs)
 
 
-def _descent_plan(hamiltonian, plan, bucket: bool):
+def _descent_plan(hamiltonian, plan, bucket: bool, repetitions: int = 64):
     """Sparse ColorPlan for the zero-temperature descent phase, cached on
     the main plan object (the dense engine needs a sparse companion for
-    exact-delta descent; sparse main plans descend on themselves)."""
+    exact-delta descent; sparse main plans descend on themselves).
+
+    The update-block size shrinks with the replica count: the descent
+    gather materialises a (block, degree, R) f32 working set that must
+    stay under the relay's per-program buffer cap even for the fused-
+    trials runs at R ~ 1e4."""
     if isinstance(plan, ColorPlan):
         return plan
     cached = getattr(plan, "_descent_plan", None)
     if cached is None:
-        cached = make_color_plan(hamiltonian, bucket=bucket)
+        block = 512 if repetitions <= 2048 else max(32, (1 << 29) // (64 * 4 * repetitions))
+        cached = make_color_plan(hamiltonian, block_size=block, bucket=bucket)
         object.__setattr__(plan, "_descent_plan", cached)
     return cached
 
@@ -303,7 +309,7 @@ def anneal(
             need_final=descend,
         )
     if descend:
-        dplan = _descent_plan(hamiltonian, plan, bucket)
+        dplan = _descent_plan(hamiltonian, plan, bucket, repetitions=R)
         outS, _, _, _, _ = run_annealing(
             dplan,
             S[:, :K],
