@@ -651,9 +651,13 @@ def ground_state_codebook(
         nl = 128  # lane-tile width of the row-gather view
         if gather_mode == "row128" and Kp % nl != 0:
             gather_mode = "element"  # tiny test bases only
-        # transient per scan slice: (span, rows, 128) f32 — keep < ~100 MB
+        # transient per scan slice: several (span, rows, 128)-shaped
+        # intermediates (gathered tiles, one-hot selects). The per-program
+        # footprint must stay under the relay's ~2 GB wall NEXT TO the
+        # 1.26 GB table buffer and two resident vectors, so f64 slices
+        # 4x finer than f32 (observed: 2048 slices OOM the f64 pass)
         if gather_mode == "row128":
-            slices = 2048
+            slices = 8192 if dt == jnp.float64 else 2048
             while Kp % slices:
                 slices //= 2
         else:
