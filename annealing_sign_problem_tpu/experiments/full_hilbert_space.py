@@ -91,6 +91,12 @@ def parse_command_line(argv=None):
              "to sequential trials (every chain has an independent seed "
              "and start) and far better MXU utilisation",
     )
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 couplings+state in the MXU engines (halves the device "
+             "footprint; the exact-f32 descent phase still lands "
+             "converged replicas on the true optimum)",
+    )
     return parser.parse_args(argv)
 
 
@@ -132,16 +138,27 @@ def main(argv=None):
 
     log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
     model = make_ising_model(op.basis.states, op, log_psi_fn=log_fn)
-    # the dense MXU engine when the densified coupling tensor fits the
+    # engine tiering mirrors solvers.sa.anneal: dense MXU under the
     # per-program buffer cap (every reference small system except
-    # kagome-18); the gather engine otherwise — decided on the EXACT
-    # footprint with the coloring computed once and reused
+    # kagome-18) -> multi-slab resident MXU (kagome-18, K = 48,620) ->
+    # gather engine; decided on the EXACT densified footprint with the
+    # coloring computed once and reused
     from ..solvers.coloring import greedy_coloring
+    from ..solvers.sa import SLAB_TOTAL_LIMIT
     from ..ops.sweeps_dense import dense_plan_bytes_exact
+    from ..ops.sweeps_slab import make_slab_plan
 
     colors = greedy_coloring(model.ising_hamiltonian.exchange)
-    if dense_plan_bytes_exact(colors, model.size) <= DENSE_BYTES_LIMIT:
-        plan = make_dense_plan(model.ising_hamiltonian, colors=colors)
+    exact_bytes = dense_plan_bytes_exact(colors, model.size)
+    j_dtype = "bfloat16" if args.bf16 else "float32"
+    if exact_bytes <= DENSE_BYTES_LIMIT:
+        plan = make_dense_plan(
+            model.ising_hamiltonian, colors=colors, j_dtype=j_dtype
+        )
+    elif exact_bytes // (1 if j_dtype == "float32" else 2) <= SLAB_TOTAL_LIMIT:
+        plan = make_slab_plan(
+            model.ising_hamiltonian, colors=colors, j_dtype=j_dtype
+        )
     else:
         plan = make_color_plan(model.ising_hamiltonian, colors=colors)
     exact_bits = determine_exact_solution(op.basis.states, op, psi)
