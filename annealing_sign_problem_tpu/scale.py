@@ -583,8 +583,10 @@ def ground_state_codebook(
     # each buffer must stay under 2^31 elements AND its per-dispatch program
     # footprint (buffer + vectors) under ~1.5 GB — larger per-program
     # buffers draw RESOURCE_EXHAUSTED from the relay even when total HBM
-    # has room (probed: 3 GB buffers fail, 1.4 GB buffers run)
-    max_elems = min((1 << 31) - (1 << 24), (3 << 29) // 4)
+    # has room (probed: 3 GB buffers fail, 1.4 GB buffers run). ~800 MB
+    # buffers leave room for the f64 polish's two 253 MB vectors in the
+    # same program (1.26 GB buffers + f64 vectors OOMed it)
+    max_elems = min((1 << 31) - (1 << 24), (3 << 29) // 8)
     rows_per_split = max(int(max_elems // Kp), 1)
     split_starts = list(range(0, W - 1, rows_per_split))
     split_spans = [min(rows_per_split, W - 1 - s) for s in split_starts]
