@@ -8,7 +8,10 @@ K36_PID=$(cat /tmp/k36.pid)
 echo "waiting for kagome-36 ED (pid $K36_PID) ..."
 while kill -0 "$K36_PID" 2>/dev/null; do sleep 30; done
 echo "ED process exited at $(date)"
-grep -q "saved h5" /tmp/k36_r3c.log || echo "WARNING: ED did not save the h5"
+if ! grep -q "saved h5" /tmp/k36_r3c.log; then
+  echo "ABORT: ED did not save the h5 — leaving the TPU to manual control"
+  exit 1
+fi
 
 # Stage 1: kagome-36 cluster batch 1 (30 clusters vs the converged vector)
 timeout 7200 python -m annealing_sign_problem_tpu.experiments.sampled_connected_components \
