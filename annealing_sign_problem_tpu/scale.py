@@ -448,8 +448,15 @@ def ground_state_codebook(
     checkpoint_path: Optional[str] = None,
     low_memory: bool = True,
     gather_mode: str = "row128",
+    polish_gather_mode: str = "element",
 ) -> Tuple[float, np.ndarray]:
     """Ground state of a basis whose f32 neighbour table exceeds HBM.
+
+    The f32 phase uses the fast ``row128`` matvec; the f64 polish
+    defaults to the ``element`` decode — its per-slice transients are
+    tiny, and the doubled vector footprint already crowds the relay's
+    per-program wall (row128 f64 drew RESOURCE_EXHAUSTED even with
+    ~700 MB table buffers).
 
     Observation: the symmetrised off-diagonal matrix elements take very few
     distinct values — (off-diagonal term entries) x (+-1 characters) x
@@ -800,7 +807,7 @@ def ground_state_codebook(
             # low best_theta makes every honest f64 value look like a
             # regression
             theta, x = two_pass_lanczos(
-                make_matvec(jnp.float64, gather_mode), K, Kp,
+                make_matvec(jnp.float64, polish_gather_mode), K, Kp,
                 num_iter=min(polish_iter, m),
                 restarts=polish_restarts, tol=tol, v0_host=x,
                 checkpoint_path=ckpt64, dtype=jnp.float64,

@@ -26,7 +26,7 @@ op = operator_from_config(systems.get_system("heisenberg_kagome_36"), basis)
 # 4e-7 above/at the f32 floor); go straight to the f64 polish
 energy, psi = scale.ground_state_codebook(
     op, num_iter=64, restarts=0, chunk_size=2048, super_chunks=256,
-    polish_restarts=4, polish_iter=64, tol=1e-10,
+    polish_restarts=3, polish_iter=48, tol=1e-10,
     block_cache_dir="/root/k36_blocks",
     checkpoint_path="/root/k36_ckpt.npz",
 )
