@@ -119,22 +119,49 @@ def _matvec_maker(
     k: int,
     rows_per_chunk: int,
     chunks_per_dispatch: int,
+    gather_mode: str = "element",
 ):
-    """One bounded dispatch computes rows [start, start + B*G) of H @ x."""
+    """One bounded dispatch computes rows [start, start + B*G) of H @ x.
+
+    ``gather_mode="element"`` issues one random 1-element gather per
+    non-zero — latency-bound at ~5e7 gathers/s on the relay-attached
+    v5e, which prices a 601M-state sk_32 matvec at ~50 min.
+    ``"row128"`` is the same restructuring that made the kagome-36
+    codebook ED converge (scale.make_matvec): view x as (Kp/128, 128)
+    lane tiles, gather the whole 512-byte ROW holding each neighbour —
+    the layout TPUs stream at HBM bandwidth — and recover the element
+    with a fused one-hot lane select. ~20x on the same workload; the
+    price is a (rows, P+1, 128) one-hot transient, so ``rows_per_chunk``
+    must shrink accordingly (handled by the caller).
+    """
     rank_fn, unrank_fn = make_sector_codec(n, k)
     dim = sector_dimension(n, k)
     B, G = rows_per_chunk, chunks_per_dispatch
+    nl = 128
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def mv_span(x, y, start):
+        if gather_mode == "row128":
+            x2 = x.reshape(-1, nl)
+            lane_iota = jax.lax.iota(jnp.int32, nl)
+
         def body(y, g):
             rows = start + g * B + jnp.arange(B, dtype=jnp.int32)
             valid = rows < dim
             states = unrank_fn(jnp.where(valid, rows, 0))
             nbrs, coeffs = operator.apply_padded(states)  # (B, P+1)
             r = jnp.clip(rank_fn(nbrs), 0, dim - 1)
-            vals = coeffs.astype(jnp.float32) * x[r]
-            out = jnp.where(valid, jnp.sum(vals, axis=1), 0.0)
+            if gather_mode == "row128":
+                tiles = x2[r >> 7]  # (B, P+1, 128) row gather
+                sel = jnp.where(
+                    (r & (nl - 1))[..., None] == lane_iota,
+                    coeffs.astype(jnp.float32)[..., None],
+                    0.0,
+                )
+                out = jnp.where(valid, jnp.sum(tiles * sel, axis=(1, 2)), 0.0)
+            else:
+                vals = coeffs.astype(jnp.float32) * x[r]
+                out = jnp.where(valid, jnp.sum(vals, axis=1), 0.0)
             return jax.lax.dynamic_update_slice(y, out, (start + g * B,)), None
 
         y, _ = jax.lax.scan(body, y, jnp.arange(G, dtype=jnp.int32))
@@ -153,6 +180,7 @@ def ground_state_sector(
     chunks_per_dispatch: int = 16,
     checkpoint_path: Optional[str] = None,
     dtype=jnp.float32,
+    gather_mode: str = "auto",
 ) -> Tuple[float, np.ndarray]:
     """Restarted two-pass Lanczos ground state of a full (n, k) sector.
 
@@ -162,6 +190,13 @@ def ground_state_sector(
     """
     basis = operator.basis
     n, k = basis.number_spins, basis.hamming_weight
+    if gather_mode == "auto":
+        # row128 pays a 128-lane select per non-zero: a loss for small
+        # sectors that fit comfortably, the difference between 50 min
+        # and ~2.5 min per matvec at sk_32 scale
+        gather_mode = (
+            "row128" if sector_dimension(n, k) >= (1 << 24) else "element"
+        )
     if rows_per_chunk is None:
         # span = B*G rows per dispatch; keep padding waste small for tiny
         # sectors and dispatches bounded (~2M rows) for 601M-state ones
@@ -169,9 +204,16 @@ def ground_state_sector(
         rows_per_chunk = max(
             1024, 1 << (max(dim_est // chunks_per_dispatch, 1) - 1).bit_length()
         )
-        rows_per_chunk = min(rows_per_chunk, 1 << 17)
+        # row128's (B, P+1, 128) one-hot transient must stay ~100 MB:
+        # cap B at the largest power of two under the budget
+        cap = 1 << 17
+        if gather_mode == "row128":
+            per_row = (operator.max_neighbours + 1) * 128 * 4
+            cap = max(256, 1 << (max(int(100e6 // per_row), 1).bit_length() - 1))
+        rows_per_chunk = min(rows_per_chunk, cap)
     mv_span, dim = _matvec_maker(
-        operator, n, k, rows_per_chunk, chunks_per_dispatch
+        operator, n, k, rows_per_chunk, chunks_per_dispatch,
+        gather_mode=gather_mode,
     )
     span = rows_per_chunk * chunks_per_dispatch
     Kp = ((dim + span - 1) // span) * span

@@ -1,0 +1,85 @@
+"""Regenerate experiments/COMPARISON.md from the committed curve CSVs.
+
+Compares our `full_hilbert_space` curves (experiments/*.csv) against the
+reference's committed curves (reference experiments/*.csv — identical
+schema, full_hilbert_space.py:319-338) at matching sweep counts, for all
+three probabilities. Only rows present in BOTH files are compared, and
+the provenance (trials, start condition) is taken from the files
+themselves: a curve with every std == 0 is flagged single-trial.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/experiments"
+SYSTEMS = [
+    "heisenberg_kagome_16",
+    "heisenberg_kagome_18",
+    "j1j2_square_4x4",
+    "sk_16_1",
+    "sk_16_2",
+    "sk_16_3",
+]
+
+
+def load(path):
+    tab = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+    return {int(r[0]): r for r in tab}
+
+
+def main():
+    out = [
+        "# Small-system convergence: ours vs reference (`make small`, Figure 2)",
+        "",
+        "Both sides: 1024 annealing replicas per trial, 10 trials, random",
+        "replica initialisation (the reference's `sa.anneal` call passes no",
+        "x0, common.py:242-248; our driver default is `--x0 random`).",
+        "P(x) = fraction of replicas with accuracy/overlap > 0.995 or",
+        "relative residual energy <= 1e-12. delta = ours - reference.",
+        "",
+    ]
+    for s in SYSTEMS:
+        ours_path = os.path.join(REPO, "experiments", f"{s}.csv")
+        ref_path = os.path.join(REF, f"{s}.csv")
+        if not os.path.exists(ours_path):
+            out += [f"## {s}", "", "_no committed curve yet_", ""]
+            continue
+        ours, ref = load(ours_path), load(ref_path)
+        single_trial = all(v[2] == 0.0 for v in ours.values())
+        out.append(f"## {s}")
+        out.append("")
+        if single_trial:
+            out.append("_WARNING: our file is single-trial (std columns are 0)._")
+            out.append("")
+        out.append(
+            "| sweeps | P(acc) ours | ref | delta | P(overlap) ours | ref "
+            "| P(residual) ours | ref |"
+        )
+        out.append("|---|---|---|---|---|---|---|---|")
+        for n in sorted(ours):
+            o = ours[n]
+            if n not in ref:
+                out.append(
+                    f"| {n} | {o[1]:.4f} ± {o[2]:.4f} | — | — "
+                    f"| {o[6]:.4f} | — | {o[11]:.4f} | — |"
+                )
+                continue
+            r = ref[n]
+            out.append(
+                f"| {n} | {o[1]:.4f} ± {o[2]:.4f} | {r[1]:.4f} ± {r[2]:.4f} "
+                f"| **{o[1] - r[1]:+.4f}** | {o[6]:.4f} | {r[6]:.4f} "
+                f"| {o[11]:.4f} | {r[11]:.4f} |"
+            )
+        out.append("")
+    dest = os.path.join(REPO, "experiments", "COMPARISON.md")
+    with open(dest, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,3 +51,33 @@ def test_sector_ground_state_matches_ed():
     assert e == pytest.approx(e_ref, abs=2e-5)
     overlap = abs(np.dot(psi, psi_ref))
     assert overlap > 1.0 - 1e-6
+
+
+def test_sector_row128_matvec_matches_element():
+    """The row128 lane-tile gather restructure (the sk_32-scale path)
+    must reproduce the element-gather matvec exactly."""
+    from annealing_sign_problem_tpu.sector import _matvec_maker
+
+    config = systems.get_system("sk_16_1")
+    basis = basis_from_config(config).build()
+    op = operator_from_config(config, basis)
+    n, k = 16, 8
+
+    rng = np.random.RandomState(3)
+    dim = sector_dimension(n, k)
+    B, G = 1024, 4
+    span = B * G
+    Kp = ((dim + span - 1) // span) * span
+    x = np.zeros(Kp, dtype=np.float32)
+    x[:dim] = rng.standard_normal(dim).astype(np.float32)
+    ys = {}
+    for mode in ("element", "row128"):
+        mv, d = _matvec_maker(op, n, k, B, G, gather_mode=mode)
+        assert d == dim
+        y = jnp.zeros(Kp, dtype=jnp.float32)
+        xd = jnp.asarray(x)
+        for s in range(0, Kp, span):
+            y = mv(xd, y, jnp.int32(s))
+        ys[mode] = np.asarray(y)
+    # the two paths reduce in different orders: pure f32 rounding noise
+    np.testing.assert_allclose(ys["row128"], ys["element"], rtol=1e-4, atol=1e-4)
