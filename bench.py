@@ -25,6 +25,47 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def preempt_experiment_queue():
+    """The TPU tolerates exactly one client. Long experiment queues
+    (scripts/queue_r3_*.sh) record their PIDs under /tmp/*.pid; if the
+    driver starts this benchmark while a queue stage is mid-flight, stop
+    those exact PIDs (every stage checkpoints/appends, so nothing is
+    lost) and give the relay a moment to drop the old session."""
+    import glob
+    import signal
+
+    stopped = []
+    for pf in glob.glob("/tmp/queue*.pid") + glob.glob("/tmp/s2curve.pid"):
+        try:
+            pid = int(open(pf).read().strip())
+        except (ValueError, OSError):
+            continue
+        try:
+            os.kill(pid, 0)
+        except (ProcessLookupError, PermissionError):
+            continue
+        # kill the recorded orchestrator AND its direct children (the
+        # timeout/python pair) — recorded PIDs only, never name patterns
+        try:
+            kids = open(f"/proc/{pid}/task/{pid}/children").read().split()
+        except OSError:
+            kids = []
+        for p in [pid] + [int(c) for c in kids]:
+            try:
+                gk = open(f"/proc/{p}/task/{p}/children").read().split()
+            except OSError:
+                gk = []
+            for q in [p] + [int(c) for c in gk]:
+                try:
+                    os.kill(q, signal.SIGTERM)
+                    stopped.append(q)
+                except (ProcessLookupError, PermissionError):
+                    pass
+    if stopped:
+        log(f"preempted experiment queue pids {sorted(set(stopped))}; waiting 20s")
+        time.sleep(20)
+
+
 def build_problem():
     from annealing_sign_problem_tpu import ed, systems
     from annealing_sign_problem_tpu.amplitudes import (
@@ -62,6 +103,7 @@ def build_problem():
 
 
 def main():
+    preempt_experiment_queue()
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
