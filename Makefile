@@ -53,6 +53,7 @@ experiments/%.csv:
 		--repetitions 1024 \
 		--trials $(TRIALS) \
 		--fused-trials \
+		--bf16 \
 		--resume && \
 	mv $@.wip $@
 
