@@ -147,16 +147,38 @@ def _bucket_size(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _build_elements(
-    operator: Operator, spins: jax.Array, abs_psi: jax.Array, valid: jax.Array
+    operator: Operator,
+    spins: jax.Array,
+    abs_psi: jax.Array,
+    valid: jax.Array,
+    row_spins: jax.Array,
+    row_abs: jax.Array,
+    row_valid: jax.Array,
 ):
-    """Jitted core of the Ising build: returns (neighbour index (K, W),
-    member mask, elements (K, W) f64, outside contribution terms)."""
-    nbrs, coeffs = operator.apply_padded(spins)
+    """Jitted core of the Ising build for one row block: returns (neighbour
+    index (R, W), member mask, elements (R, W) f64, outside contribution
+    terms). The lookup tables (``spins``/``abs_psi``/``valid``) cover the
+    whole cluster; the rows are a block so the symmetry orbit-reduction
+    intermediates inside ``apply_padded`` — (R, W, |G|) — stay bounded."""
+    nbrs, coeffs = operator.apply_padded(row_spins)
     idx = jnp.clip(jnp.searchsorted(spins, nbrs), 0, spins.shape[0] - 1)
     member = (spins[idx] == nbrs) & valid[idx]
-    e = coeffs * jnp.where(member, abs_psi[idx], 0.0) * abs_psi[:, None]
-    e = jnp.where(valid[:, None], e, 0.0)
+    e = coeffs * jnp.where(member, abs_psi[idx], 0.0) * row_abs[:, None]
+    e = jnp.where(row_valid[:, None], e, 0.0)
     return idx.astype(jnp.int32), member, e, nbrs, coeffs
+
+
+def _apply_row_block(operator: Operator, budget_bytes: int = 600 << 20) -> int:
+    """Rows per device dispatch such that the (R, W, |G|) f32 orbit-reduction
+    intermediates (~6 live arrays) fit in ``budget_bytes``. Power of two for
+    compile-cache reuse; 2048 max (the relay's per-program buffer cap)."""
+    W = operator.max_neighbours
+    G = operator.basis.group_size if operator.basis.has_symmetries else 1
+    per_row = max(W * G * 4 * 6, 1)
+    r = 128
+    while 2 * r * per_row <= budget_bytes and r < 2048:
+        r <<= 1
+    return r
 
 
 def make_ising_model(
@@ -218,15 +240,28 @@ def make_ising_model(
     valid = np.zeros(B, dtype=bool)
     valid[:n] = True
 
-    idx, member, elements, nbrs, coeffs = _build_elements(
-        quantum_hamiltonian,
-        jnp.asarray(spins_padded),
-        jnp.asarray(abs_padded),
-        jnp.asarray(valid),
-    )
-    idx = np.asarray(idx)[:n]
-    member = np.asarray(member)[:n]
-    elements = np.asarray(elements, dtype=np.float64)[:n]
+    spins_dev = jnp.asarray(spins_padded)
+    abs_dev = jnp.asarray(abs_padded)
+    valid_dev = jnp.asarray(valid)
+    Rb = min(B, _apply_row_block(quantum_hamiltonian))
+    blocks = []
+    for s in range(0, B, Rb):
+        blocks.append(
+            _build_elements(
+                quantum_hamiltonian,
+                spins_dev,
+                abs_dev,
+                valid_dev,
+                spins_dev[s : s + Rb],
+                abs_dev[s : s + Rb],
+                valid_dev[s : s + Rb],
+            )
+        )
+    idx = np.concatenate([np.asarray(b[0]) for b in blocks])[:n]
+    member = np.concatenate([np.asarray(b[1]) for b in blocks])[:n]
+    elements = np.concatenate(
+        [np.asarray(b[2], dtype=np.float64) for b in blocks]
+    )[:n]
     idx = np.where(member, idx, 0)  # padded-slot indices may exceed n
 
     W = idx.shape[1]
@@ -244,8 +279,8 @@ def make_ising_model(
     if external_field or scale_field != 0.0:
         # out-of-K contributions: h_i = sum_{j not in K} c_ij |psi_i| psi_j
         # (signed psi_j — cbits/build_matrix.c:49)
-        nbrs_h = np.asarray(nbrs)[:n]
-        coeffs_h = np.asarray(coeffs)[:n]
+        nbrs_h = np.concatenate([np.asarray(b[3]) for b in blocks])[:n]
+        coeffs_h = np.concatenate([np.asarray(b[4]) for b in blocks])[:n]
         outside = (~member) & (coeffs_h != 0.0)
         if outside.any():
             out_states = nbrs_h[outside]
@@ -268,15 +303,34 @@ def make_ising_model(
     return IsingModel(spins, quantum_hamiltonian, ising, x0)
 
 
+def _apply_padded_host(operator: Operator, spins: np.ndarray):
+    """Host-side chunked ``apply_padded``: pads each row block to a fixed
+    power-of-two shape (one compiled program) and keeps the per-dispatch
+    orbit-reduction footprint bounded. Returns numpy (nbrs, coeffs)."""
+    spins = np.asarray(spins, dtype=np.uint64)
+    Rb = _apply_row_block(operator)
+    outs_n, outs_c = [], []
+    for s in range(0, spins.shape[0], Rb):
+        chunk = spins[s : s + Rb]
+        pad = Rb - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.full(pad, chunk[-1], dtype=np.uint64)])
+        nb, cf = operator.apply_padded(jnp.asarray(chunk))
+        nb, cf = np.asarray(nb), np.asarray(cf)
+        if pad:
+            nb, cf = nb[:-pad], cf[:-pad]
+        outs_n.append(nb)
+        outs_c.append(cf)
+    return np.concatenate(outs_n), np.concatenate(outs_c)
+
+
 def make_hamiltonian_extension(
     model: IsingModel,
     log_psi_fn: Callable[[np.ndarray], np.ndarray],
 ) -> IsingModel:
     """Extend the spin set by one Hamiltonian hop: K <- K ∪ H·K and rebuild
     (common.py:516-522)."""
-    nbrs, coeffs = model.quantum_hamiltonian.apply_padded(jnp.asarray(model.spins))
-    nbrs = np.asarray(nbrs)
-    coeffs = np.asarray(coeffs)
+    nbrs, coeffs = _apply_padded_host(model.quantum_hamiltonian, model.spins)
     touched = np.unique(nbrs[coeffs != 0.0])
     spins = np.union1d(model.spins, touched)
     return make_ising_model(spins, model.quantum_hamiltonian, log_psi_fn=log_psi_fn)
@@ -303,9 +357,9 @@ def make_hamiltonian_extension_reltol(
     sampled_connected_components.py:449-484). Returns the extended spin
     set."""
     spins = model.spins
-    nbrs, coeffs = model.quantum_hamiltonian.apply_padded(jnp.asarray(spins))
-    nbrs = np.asarray(nbrs)[:, 1:]
-    coeffs = np.asarray(coeffs)[:, 1:]
+    nbrs, coeffs = _apply_padded_host(model.quantum_hamiltonian, spins)
+    nbrs = nbrs[:, 1:]
+    coeffs = coeffs[:, 1:]
 
     log_psi = np.asarray(log_psi_fn(spins))
     log_psi_ext = np.asarray(log_psi_fn(nbrs.reshape(-1))).reshape(nbrs.shape)
