@@ -171,12 +171,13 @@ def _build_elements(
 def _apply_row_block(operator: Operator, budget_bytes: int = 600 << 20) -> int:
     """Rows per device dispatch such that the (R, W, |G|) f32 orbit-reduction
     intermediates (~6 live arrays) fit in ``budget_bytes``. Power of two for
-    compile-cache reuse; 2048 max (the relay's per-program buffer cap)."""
+    compile-cache reuse; symmetry-free bases (|G| = 1) have tiny rows and
+    effectively stay single-dispatch."""
     W = operator.max_neighbours
     G = operator.basis.group_size if operator.basis.has_symmetries else 1
     per_row = max(W * G * 4 * 6, 1)
     r = 128
-    while 2 * r * per_row <= budget_bytes and r < 2048:
+    while 2 * r * per_row <= budget_bytes and r < 65536:
         r <<= 1
     return r
 
