@@ -45,6 +45,13 @@ def parse_command_line(argv=None):
     parser.add_argument("--sampled-power", type=float, default=1.5)
     parser.add_argument("--number-outer-iterations", type=int, default=2)
     parser.add_argument("--number-sa-sweeps", type=int, default=10000)
+    parser.add_argument(
+        "--sa-repetitions", type=int, default=64,
+        help="annealing replicas per outer-loop label solve; the flip "
+             "budget is K * sweeps * repetitions, so large sampled sets "
+             "(reference scale: 100k samples -> K ~ 1e5) need this scaled "
+             "down to fit a TPU time budget",
+    )
     parser.add_argument("--seed", type=int, default=12345)
     return parser.parse_args(argv)
 
@@ -102,6 +109,7 @@ def main(argv=None):
     else:
         config = TrainingConfig(
             number_sa_sweeps=args.number_sa_sweeps,
+            sa_repetitions=args.sa_repetitions,
             number_supervised_epochs=args.epochs,
             number_monte_carlo_samples=args.number_samples,
             number_outer_iterations=args.number_outer_iterations,

@@ -127,6 +127,7 @@ def optimize_sign_structure(
         number_sweeps=number_sweeps,
         repetitions=repetitions,
         only_best=True,
+        bucket=True,  # outer iterations resample K; bound the kernel shapes
     )
     signs = _bits.bits_to_signs(x, model.size)
     signs0 = _bits.bits_to_signs(model.initial_signs, model.size)
