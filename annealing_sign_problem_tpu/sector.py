@@ -170,6 +170,278 @@ def _matvec_maker(
     return mv_span, dim
 
 
+# ---------------------------------------------------------------------------
+# Piece-split path: sectors whose vector exceeds the relay's per-program
+# buffer wall. sk_32_1 (reference physical_systems/sk_32_1.yaml,
+# Makefile:128-141) has 601,080,390 states = 2.4 GB per f32 vector; a
+# monolithic matvec dispatch touches x AND y (~4.8 GB of buffer
+# arguments), which the live relay rejects with RESOURCE_EXHAUSTED at
+# ~3 GB regardless of free HBM. The split path stores every Lanczos
+# vector as ``num_pieces`` lane-tile-aligned device pieces and bounds
+# each program to ONE piece (+ a span-sized accumulator), at the price
+# of re-scanning the neighbour gather once per input piece (masked
+# one-hot select keeps it exact).
+
+SECTOR_SPLIT_LIMIT = 600 << 20  # f32 vector bytes above which we split
+# Re-scan cost scales with num_pieces, so pieces should be as large as the
+# relay wall allows: ~1.25 GB piece + ~100 MB transients stays under the
+# observed ~1.5 GB per-program ceiling → sk_32_1 (2.4 GB vector) runs as
+# TWO pieces, paying a 2x (not 4x) neighbour re-scan.
+SECTOR_PIECE_BYTES = 1280 << 20  # target bytes per device piece
+
+
+def _no_duplicate_pairs(operator: Operator) -> bool:
+    """True when every (i, j) term pair appears once with i != j — the
+    precondition for the active-slot bound k*(n-k)+1 used to compact the
+    padded neighbour axis (exchange terms only act on opposite-bit
+    pairs, so a hamming-(n, k) state activates at most k*(n-k) of them)."""
+    si = np.asarray(operator._site_i)
+    sj = np.asarray(operator._site_j)
+    pairs = set(zip(np.minimum(si, sj).tolist(), np.maximum(si, sj).tolist()))
+    return len(pairs) == len(si) and bool(np.all(si != sj))
+
+
+def make_sector_matvec_split(
+    operator: Operator,
+    num_pieces: int,
+    rows_per_chunk: int = 512,
+    chunks_per_dispatch: int = 512,
+):
+    """Piece-split row128 sector matvec.
+
+    Returns ``(matvec, per, Kp)`` where ``matvec`` maps a list of
+    ``num_pieces`` device pieces (each ``(per,)`` f32) to the same
+    representation of H @ x. Every dispatch touches one input piece plus
+    a ``(span,)`` accumulator, so program footprint stays at piece size
+    (~SECTOR_PIECE_BYTES) no matter how large the sector is. Inactive
+    padded-neighbour slots are compacted away (argsort on coeff == 0)
+    when the operator's pair list permits the k*(n-k)+1 bound — for
+    sk_32 this halves gather traffic (497 -> 257 slots).
+    """
+    basis = operator.basis
+    n, k = basis.number_spins, basis.hamming_weight
+    rank_fn, unrank_fn = make_sector_codec(n, k)
+    dim = sector_dimension(n, k)
+    B, G = rows_per_chunk, chunks_per_dispatch
+    span = B * G
+    nl = 128
+    if span % nl != 0:
+        raise ValueError("rows_per_chunk * chunks_per_dispatch must be a multiple of 128")
+    per = -(-dim // (num_pieces * span)) * span
+    Kp = per * num_pieces
+    tiles_per_piece = per // nl
+    P1 = operator.max_neighbours
+    A = min(P1, k * (n - k) + 1) if _no_duplicate_pairs(operator) else P1
+    lane_iota = jax.lax.iota(jnp.int32, nl)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def mv_partial(xp, acc, start, tile_off):
+        """acc (span,) += rows [start, start+span) of H @ x restricted to
+        the columns held by piece ``xp`` (first global tile ``tile_off``)."""
+        x2 = xp.reshape(tiles_per_piece, nl)
+
+        def body(acc, g):
+            rows = start + g * B + jnp.arange(B, dtype=jnp.int32)
+            valid = rows < dim
+            states = unrank_fn(jnp.where(valid, rows, 0))
+            nbrs, coeffs = operator.apply_padded(states)  # (B, P1)
+            if A < P1:
+                order = jnp.argsort((coeffs == 0.0).astype(jnp.int32), axis=1)[:, :A]
+                nbrs = jnp.take_along_axis(nbrs, order, axis=1)
+                coeffs = jnp.take_along_axis(coeffs, order, axis=1)
+            r = jnp.clip(rank_fn(nbrs), 0, dim - 1)
+            t = (r >> 7) - tile_off
+            inside = (t >= 0) & (t < tiles_per_piece)
+            tiles = x2[jnp.clip(t, 0, tiles_per_piece - 1)]  # (B, A, 128)
+            sel = jnp.where(
+                ((r & (nl - 1))[..., None] == lane_iota) & inside[..., None],
+                coeffs.astype(jnp.float32)[..., None],
+                0.0,
+            )
+            out = jnp.where(valid, jnp.sum(tiles * sel, axis=(1, 2)), 0.0)
+            prev = jax.lax.dynamic_slice(acc, (g * B,), (B,))
+            return jax.lax.dynamic_update_slice(acc, prev + out, (g * B,)), None
+
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(G, dtype=jnp.int32))
+        return acc
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_span(yq, acc, local_start):
+        return jax.lax.dynamic_update_slice(yq, acc, (local_start,))
+
+    def matvec(x_pieces, spans_limit: Optional[int] = None):
+        """H @ x over piece-split vectors. ``spans_limit`` bounds the
+        number of output spans actually computed (probe/benchmark use:
+        the result is then only valid on the covered prefix)."""
+        y = []
+        done = 0
+        for q in range(num_pieces):
+            yq = jnp.zeros(per, jnp.float32)
+            for s in range(0, per, span):
+                if spans_limit is not None and done >= spans_limit:
+                    break
+                acc = jnp.zeros(span, jnp.float32)
+                gstart = jnp.int32(q * per + s)
+                for p in range(num_pieces):
+                    acc = mv_partial(
+                        x_pieces[p], acc, gstart, jnp.int32(p * tiles_per_piece)
+                    )
+                yq = write_span(yq, acc, jnp.int32(s))
+                done += 1
+            y.append(yq)
+        return y
+
+    return matvec, per, Kp
+
+
+def two_pass_lanczos_split(
+    matvec,
+    dim: int,
+    per: int,
+    num_pieces: int,
+    num_iter: int,
+    restarts: int,
+    tol: float,
+    v0_host: np.ndarray,
+    checkpoint_path: Optional[str] = None,
+    name: str = "sector ED (split)",
+) -> Tuple[float, np.ndarray]:
+    """Two-pass restarted Lanczos over piece-split f32 vectors.
+
+    Same restart/regression/convergence logic as :func:`two_pass_lanczos`;
+    every device program touches at most two pieces (one sub/axpy at a
+    time), keeping the footprint under the relay wall. Checkpoints store
+    the best Ritz vector as f32 (the working precision) to halve the
+    host transfer per restart.
+    """
+    dtype = jnp.float32
+    Kp = per * num_pieces
+
+    @jax.jit
+    def dot64_p(a, b):
+        return jax.lax.dot_general(
+            a[None, :], b[:, None], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float64,
+        )[0, 0]
+
+    def dot(a, b):
+        return float(sum(np.asarray(dot64_p(a[p], b[p])) for p in range(num_pieces)))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sub_p(w, c, v):
+        return w - jnp.asarray(c, dtype) * v
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scale_p(w, c):
+        return w * jnp.asarray(c, dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def axpy_p(acc, c, v):
+        return acc + jnp.asarray(c, dtype) * v
+
+    def lanczos_pass(v0, m, coeffs=None):
+        v_prev = [jnp.zeros(per, dtype) for _ in range(num_pieces)]
+        v = v0
+        acc = None
+        if coeffs is not None:
+            acc = [jnp.zeros(per, dtype) for _ in range(num_pieces)]
+            acc = [axpy_p(acc[p], coeffs[0], v[p]) for p in range(num_pieces)]
+        alphas, betas = [], []
+        beta_prev = 0.0
+        for j in range(m):
+            w = matvec(v)
+            alpha = dot(v, w)
+            alphas.append(alpha)
+            if j == m - 1:
+                break
+            w = [sub_p(w[p], alpha, v[p]) for p in range(num_pieces)]
+            w = [sub_p(w[p], beta_prev, v_prev[p]) for p in range(num_pieces)]
+            beta = float(np.sqrt(dot(w, w)))
+            betas.append(beta)
+            w = [scale_p(w[p], 1.0 / beta) for p in range(num_pieces)]
+            v_prev, v = v, w
+            beta_prev = beta
+            if coeffs is not None:
+                v = list(v)
+                acc = [axpy_p(acc[p], coeffs[j + 1], v[p]) for p in range(num_pieces)]
+            if beta < 1e-8 * max(abs(a) for a in alphas):
+                break
+        return np.array(alphas), np.array(betas), acc
+
+    def to_dev(x_host):
+        x = np.pad(
+            np.asarray(x_host, dtype=np.float64) / np.linalg.norm(x_host),
+            (0, Kp - dim),
+        ).astype(np.float32)
+        return [jnp.asarray(x[p * per : (p + 1) * per]) for p in range(num_pieces)]
+
+    def to_host(v):
+        return np.concatenate([np.asarray(p) for p in v])[:dim]
+
+    best_theta, best_x = np.inf, None
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        data = np.load(checkpoint_path)
+        best_theta = float(data["theta"])
+        best_x = np.asarray(data["x"], dtype=np.float32)
+        logger.info("{}: resuming from checkpoint (E = {:.12f})", name, best_theta)
+        v = to_dev(best_x)
+    else:
+        v = to_dev(v0_host)
+
+    import scipy.linalg
+
+    theta = np.inf
+    stall = 0
+    for r in range(restarts):
+        t0 = time.time()
+        alphas, betas, _ = lanczos_pass(v, num_iter)
+        mj = len(alphas)
+        evals, evecs = scipy.linalg.eigh_tridiagonal(alphas, betas[: mj - 1])
+        theta_new = float(evals[0])
+        c = evecs[:, 0]
+        regressed = theta_new > min(best_theta, theta) + max(
+            10 * tol * max(1.0, abs(theta_new)), 1e-8
+        )
+        logger.info(
+            "{} restart {}: E = {:.12f} ({:.0f}s){}",
+            name, r, theta_new, time.time() - t0,
+            "  ** regressed — reseeding" if regressed else "",
+        )
+        if regressed and best_x is not None:
+            stall += 1
+            if stall >= 3:
+                logger.info("{}: converged at the working-precision floor", name)
+                break
+            v = to_dev(best_x)
+            continue
+        stall = 0
+
+        _, _, acc = lanczos_pass(v, mj, coeffs=c)
+        nrm = np.sqrt(dot(acc, acc))
+        v = [scale_p(acc[p], 1.0 / nrm) for p in range(len(acc))]
+
+        converged = abs(theta_new - theta) < tol * max(1.0, abs(theta_new))
+        theta = theta_new
+        if theta_new <= best_theta:
+            best_theta = theta_new
+            best_x = to_host(v).astype(np.float32)
+            if checkpoint_path is not None:
+                tmp = checkpoint_path + ".wip.npz"
+                np.savez(tmp, theta=theta_new, x=best_x)
+                os.replace(tmp, checkpoint_path)
+        if converged:
+            break
+
+    if best_x is None:
+        best_x = to_host(v)
+        best_theta = theta
+    x = np.asarray(best_x, dtype=np.float64)
+    x /= np.linalg.norm(x)
+    if x[np.argmax(np.abs(x))] < 0:
+        x = -x
+    return best_theta, x
+
+
 def ground_state_sector(
     operator: Operator,
     num_iter: int = 12,
@@ -190,6 +462,27 @@ def ground_state_sector(
     """
     basis = operator.basis
     n, k = basis.number_spins, basis.hamming_weight
+    dim_est = sector_dimension(n, k)
+    if gather_mode == "auto" and dim_est * 4 > SECTOR_SPLIT_LIMIT:
+        # monolithic dispatches would present x AND y (2 * vector bytes)
+        # to one program — over the relay's per-program buffer wall for
+        # sk_32-class sectors. Route to the piece-split driver.
+        num_pieces = -(-dim_est * 4 // SECTOR_PIECE_BYTES)
+        mv, per, Kp = make_sector_matvec_split(
+            operator, num_pieces,
+            rows_per_chunk=rows_per_chunk or 512,
+            chunks_per_dispatch=max(chunks_per_dispatch, 512),
+        )
+        logger.info(
+            "sector ED (split): n={}, k={}, dim={} as {} pieces of {:.2f} GB",
+            n, k, dim_est, num_pieces, per * 4 / 2**30,
+        )
+        rng = np.random.RandomState(seed)
+        return two_pass_lanczos_split(
+            mv, dim_est, per, num_pieces, num_iter=num_iter,
+            restarts=restarts, tol=tol, v0_host=rng.standard_normal(dim_est),
+            checkpoint_path=checkpoint_path,
+        )
     if gather_mode == "auto":
         # row128 pays a 128-lane select per non-zero: a loss for small
         # sectors that fit comfortably, the difference between 50 min
