@@ -172,7 +172,7 @@ def make_dense_plan(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "track_trace"),
+    static_argnames=("num_sweeps", "track_trace", "rng_impl"),
 )
 def _dense_chunk(
     J: jax.Array,  # (NB, M, Kp) bf16
@@ -186,6 +186,7 @@ def _dense_chunk(
     step0: jax.Array,  # () int32 — global step offset for the PRNG stream
     num_sweeps: int,
     track_trace: bool,
+    rng_impl: str = "threefry",
 ):
     NB, M, Kp = J.shape
     R = S.shape[1]
@@ -199,8 +200,20 @@ def _dense_chunk(
         s_cur = jax.lax.dynamic_slice(S, (b * M, 0), (M, R))
         s_f = s_cur.astype(jnp.float32)
         delta = -2.0 * s_f * (2.0 * local + field[b][:, None])
-        key = jax.random.fold_in(base_key, step_index)
-        u = jax.random.uniform(key, (M, R), dtype=jnp.float32)
+        if rng_impl == "philox":
+            # hardware-friendly counter RNG: one XLA RngBitGenerator per
+            # block step, keyed on (seed, step) so streams stay
+            # reproducible across chunk boundaries (threefry's fold_in +
+            # uniform costs ~10% of the sweep on the MXU engine)
+            k = jnp.stack(
+                [seed, jnp.uint32(0x9E3779B9), jnp.uint32(0),
+                 step_index.astype(jnp.uint32)]
+            )
+            _, bits = jax.lax.rng_bit_generator(k, (M, R), dtype=jnp.uint32)
+            u = bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+        else:
+            key = jax.random.fold_in(base_key, step_index)
+            u = jax.random.uniform(key, (M, R), dtype=jnp.float32)
         # zero-delta moves are REJECTED: spins with no couplings (exactly
         # zero-amplitude basis states are isolated Ising vertices —
         # kagome-18 has 9.9% of them) keep their initial signs, the only
@@ -276,6 +289,7 @@ def run_annealing_dense(
     track_trace: bool = False,
     sweeps_per_chunk: Optional[int] = None,
     need_final: bool = True,
+    rng_impl: str = "threefry",
 ) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray, np.ndarray, Optional[tuple]]:
     """Run T sweeps on the dense MXU engine, chunked into bounded
     dispatches with the replica state held on device between chunks.
@@ -327,6 +341,7 @@ def run_annealing_dense(
             jnp.int32(start * NB),
             num_sweeps=n,
             track_trace=track_trace,
+            rng_impl=rng_impl,
         )
         if track_trace:
             traces_cur.append(np.asarray(trace[0]))

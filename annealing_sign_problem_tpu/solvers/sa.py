@@ -204,6 +204,7 @@ def anneal(
     bucket: bool = False,
     schedule: str = "linear",
     descent_sweeps: int = 20,
+    rng_impl: str = "threefry",
 ):
     """Anneal ``repetitions`` independent replicas for ``number_sweeps``
     full sweeps, then descend ``descent_sweeps`` zero-temperature sweeps.
@@ -229,6 +230,10 @@ def anneal(
     Returns (packed bits, energy) of the best replica when ``only_best``
     (common.py:242-248), otherwise an :class:`AnnealResult` carrying
     per-replica states, energies and optional traces.
+
+    ``rng_impl`` selects the dense engine's acceptance stream: "threefry"
+    (jax.random default) or "philox" (XLA RngBitGenerator — cheaper on
+    TPU). Only the dense engine honours it; slab/sparse use threefry.
     """
     if seed is None:
         seed = int(np.random.randint(1 << 31))
@@ -293,7 +298,7 @@ def anneal(
     if engine == "dense":
         S, _, bestS, bestE_approx, trace = run_annealing_dense(
             plan, signs0, betas, seed=seed, track_trace=track_trace,
-            need_final=descend,
+            need_final=descend, rng_impl=rng_impl,
         )
     elif engine == "slab":
         if track_trace:

@@ -156,3 +156,27 @@ def test_bucketed_plans_bounded_shapes_and_correct():
     # (the block count still tracks the power-of-two-rounded color count)
     assert len(shapes_sparse) <= 2, shapes_sparse
     assert len(shapes_dense) <= 2, shapes_dense
+
+
+def test_anneal_philox_rng_finds_ground_state():
+    """The philox (XLA RngBitGenerator) acceptance stream is a drop-in
+    for threefry on the dense engine: same sweep semantics, same exact
+    ground-state recovery, independent random stream."""
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
+
+    h = random_ising(14, 5, seed=11)
+    e_exact, _ = brute_force_minimum(h)
+    plan = make_dense_plan(h)
+    x, e = anneal(
+        h, seed=42, number_sweeps=300, repetitions=32, only_best=True,
+        plan=plan, rng_impl="philox",
+    )
+    assert e == pytest.approx(e_exact, abs=1e-8)
+    # bookkeeping stays exact under the alternative stream
+    res = anneal(
+        h, seed=7, number_sweeps=100, repetitions=8, only_best=False,
+        plan=plan, rng_impl="philox", descent_sweeps=0,
+    )
+    for r in range(8):
+        signs = bits.bits_to_signs(res.bits_all[r], h.size)
+        assert h.energy(signs) == pytest.approx(res.energies_all[r], abs=1e-8)
