@@ -70,7 +70,9 @@ class AnnealResult:
 
 
 def estimate_betas(
-    hamiltonian: IsingHamiltonian, schedule: str = "linear"
+    hamiltonian: IsingHamiltonian,
+    schedule: str = "linear",
+    informative_reltol: Optional[float] = None,
 ) -> Tuple[float, float]:
     """Annealing window endpoints from the coupling scales.
 
@@ -85,12 +87,25 @@ def estimate_betas(
     many decades (Figure 3a of the paper); measured on kagome-16, the
     linear window converges markedly faster per sweep (P(acc) 0.78 vs
     0.55 at 100 sweeps).
+
+    ``informative_reltol``: end the window at the smallest coupling
+    ABOVE ``informative_reltol * max|J|`` instead of the global minimum.
+    With noise-floor pinning (:func:`pin_uninformative_signs`) the spins
+    below that threshold are overwritten after solving, so cooling
+    through their decades is pure waste — kagome-18's couplings span ~37
+    decades but only ~13 are informative, so the geometric ramp gets ~3x
+    the sweep budget per decade that actually orders spins.
     """
     m = hamiltonian.exchange.tocoo()
     off = (m.row != m.col) & (m.data != 0.0)
     absw = np.abs(m.data[off])
     if absw.size == 0:
         return 0.1, 1.0
+    absw_min = absw.min()
+    if informative_reltol is not None:
+        kept = absw[absw >= informative_reltol * absw.max()]
+        if kept.size:
+            absw_min = kept.min()
     if schedule == "linear":
         beta0 = float(np.log(2.0) / (4.0 * absw.max()))
     else:
@@ -100,7 +115,7 @@ def estimate_betas(
             2.0 * row_abs_sum.max() + np.abs(hamiltonian.field).max(initial=0.0)
         )
         beta0 = float(np.log(2.0) / max_delta_e)
-    min_delta_e = 4.0 * absw.min()
+    min_delta_e = 4.0 * absw_min
     beta1 = float(np.log(100.0) / max(min_delta_e, 1e-300))
     # the window may span ~30 decades (kagome-18's smallest amplitudes
     # produce couplings ~1e-30): f32 handles it — exp(-beta*delta)
@@ -205,6 +220,7 @@ def anneal(
     schedule: str = "linear",
     descent_sweeps: int = 20,
     rng_impl: str = "threefry",
+    informative_reltol: Optional[float] = None,
 ):
     """Anneal ``repetitions`` independent replicas for ``number_sweeps``
     full sweeps, then descend ``descent_sweeps`` zero-temperature sweeps.
@@ -279,7 +295,9 @@ def anneal(
                 hamiltonian, block_size=block_size or 512, colors=colors,
                 bucket=bucket,
             )
-    b0, b1 = estimate_betas(hamiltonian, schedule=schedule)
+    b0, b1 = estimate_betas(
+        hamiltonian, schedule=schedule, informative_reltol=informative_reltol
+    )
     if beta0 is None:
         beta0 = b0
     if beta1 is None:

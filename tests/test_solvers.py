@@ -90,6 +90,29 @@ def test_estimate_betas_ordering():
     assert 0 < b0 < b1
 
 
+def test_estimate_betas_informative_window():
+    """With noise-floor pinning the cooling window must end at the
+    smallest INFORMATIVE coupling: sub-reltol couplings belong to spins
+    that are overwritten after solving (kagome-18's committed geometric
+    curve wasted ~24 of its 37 decades on them and plateaued at
+    P(acc) = 0.70 vs the reference's 0.9955)."""
+    h = random_ising(50, 6, seed=3)
+    m = h.exchange.tolil()
+    m[0, 1] = m[1, 0] = 1e-20 * np.abs(h.exchange.data).max()
+    h2 = type(h)(m.tocsr(), h.field)
+    for schedule in ("linear", "geometric"):
+        b0_full, b1_full = estimate_betas(h2, schedule=schedule)
+        b0_inf, b1_inf = estimate_betas(
+            h2, schedule=schedule, informative_reltol=1e-12
+        )
+        assert b0_inf == b0_full  # the melt end is untouched
+        assert b1_inf < b1_full  # the window no longer chases 1e-20
+        # without sub-floor couplings the window is unchanged
+        assert estimate_betas(h, schedule=schedule) == estimate_betas(
+            h, schedule=schedule, informative_reltol=1e-12
+        )
+
+
 def test_anneal_finds_ground_state_tiny():
     h = random_ising(14, 5, seed=11)
     e_exact, _ = brute_force_minimum(h)
