@@ -1,0 +1,68 @@
+#!/bin/bash
+# Round-3 session-7 queue, v14: takes over from v13 at the stage-5
+# boundary (after "sk32 probe rc=" lands in /tmp/queue_v13.log), i.e.
+# BEFORE v13's curve-extension tail. Rationale: with the fair curves
+# committed through 12800-51200 sweeps, extra sweep-count tail points
+# are worth less TPU time than (a) cluster statistics volume toward the
+# Figure-6-8 scale (VERDICT round 2, missing item 3) and (b) banking
+# checkpointed sk_32_1 Lanczos restarts (missing item 2 — the full ED
+# projects 10h+ at the probed matvec rate, so this session contributes
+# resumable progress, not completion).
+cd /root/repo || exit 1
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+note() { echo "$(date -u '+%F %T') $*" >> /tmp/queue_v14.log; }
+note "v14 armed, waiting for v13 stage-5 boundary"
+
+V13PID=$(cat /tmp/queue_v13.pid 2>/dev/null)
+while kill -0 "$V13PID" 2>/dev/null; do
+  if grep -q "sk32 probe rc=" /tmp/queue_v13.log 2>/dev/null; then
+    # stage boundary reached: stop v13's orchestrator and its direct
+    # children (recorded PIDs only, never name patterns)
+    for kid in $(cat "/proc/$V13PID/task/$V13PID/children" 2>/dev/null); do
+      for gkid in $(cat "/proc/$kid/task/$kid/children" 2>/dev/null); do
+        kill "$gkid" 2>/dev/null
+      done
+      kill "$kid" 2>/dev/null
+    done
+    kill "$V13PID" 2>/dev/null
+    note "v13 stopped at stage-5 boundary (pid $V13PID)"
+    sleep 45  # let the relay drop the old session
+    break
+  fi
+  sleep 30
+done
+kill -0 "$V13PID" 2>/dev/null || note "v13 gone; proceeding"
+sleep 5
+
+clusters() { # system, outdir, cutoff, seed, tag, nsamples, timeout, noise
+  local s=$1 dir=$2 cut=$3 seed=$4 tag=$5 n=$6 to=$7 noise=${8:-0}
+  for attempt in 1 2; do
+    timeout "$to" python -m annealing_sign_problem_tpu.experiments.sampled_connected_components \
+      --system "$s" --seed "$seed" \
+      --output "experiments/$dir/noise_$noise/cutoff_$cut/$tag.a$attempt" \
+      --order 2 --noise "$noise" --no-annealing --global-cutoff "$cut" \
+      --number-samples "$n" > "/tmp/q14_cl_$tag.a$attempt.log" 2>&1 \
+      && { note "clusters $tag.a$attempt ok"; return; }
+    note "clusters $tag.a$attempt rc=$?"
+    seed=$((seed + 1000))
+  done
+}
+
+# 1. v13's stage-6 work first (it never reached it): first pyrochlore
+#    CSV, kagome volume, one noise cell
+clusters heisenberg_pyrochlore_2x2x2 pyrochlore 2e-06 530030 pyrochlore.csv.s3a 40 5400
+clusters heisenberg_kagome_36 kagome 1e-06 530020 kagome.csv.s3c 50 5400
+clusters heisenberg_kagome_36 kagome 1e-06 530060 kagome_noise.csv.s3n 40 5400 2e-1
+
+# 2. kagome-36 volume toward the Figure-6 scale
+clusters heisenberg_kagome_36 kagome 1e-06 530040 kagome.csv.s3d 60 5400
+clusters heisenberg_kagome_36 kagome 1e-06 530050 kagome.csv.s3e 60 5400
+clusters heisenberg_kagome_36 kagome 1e-06 530070 kagome.csv.s3f 60 5400
+clusters heisenberg_pyrochlore_2x2x2 pyrochlore 2e-06 530080 pyrochlore.csv.s3b 40 5400
+
+# 3. tail: bank checkpointed sk_32_1 Lanczos restarts until the session
+#    window closes (per-restart checkpoints under /root/sk32_ckpt; a
+#    later round resumes). Bounded, not expected to converge here.
+timeout 14400 python scripts/sk32_ed.py > /tmp/q14_sk32_ed.log 2>&1
+note "sk32 ED tail rc=$?"
+note "v14 queue complete"
