@@ -44,6 +44,12 @@ ed:
 .PHONY: small
 small: $(addprefix experiments/,$(addsuffix .csv,$(SMALL_SYSTEMS)))
 
+# kagome-18 is the one small system with noise-floor spins (9.9% exactly-
+# zero amplitudes): its committed curve uses --pin-noise-floor, which also
+# switches the beta ramp to the informative coupling window (RESULTS.md
+# "Cooling-schedule study")
+CURVE_EXTRA_heisenberg_kagome_18 = --pin-noise-floor
+
 experiments/%.csv:
 	$(RUN) annealing_sign_problem_tpu.experiments.full_hilbert_space \
 		--system $(*F) \
@@ -54,7 +60,7 @@ experiments/%.csv:
 		--trials $(TRIALS) \
 		--fused-trials \
 		--bf16 \
-		--resume && \
+		--resume $(CURVE_EXTRA_$(*F)) && \
 	mv $@.wip $@
 
 experiments/noise/%.csv:
