@@ -48,6 +48,12 @@ clusters() { # system, outdir, cutoff, seed, tag, nsamples, timeout, noise
   done
 }
 
+# 0. ten-minute slab-engine capture at the kagome-36 cluster shape
+#    (VERDICT item 3's target: >= 1e9 flips/s at K ~ 3e4) — de-risks the
+#    round-end bench.py number
+timeout 1800 python scripts/slab_bench.py > /tmp/q14_slab_bench.log 2>&1
+note "slab bench rc=$?"
+
 # 1. v13's stage-6 work first (it never reached it): first pyrochlore
 #    CSV, kagome volume, one noise cell
 clusters heisenberg_pyrochlore_2x2x2 pyrochlore 2e-06 530030 pyrochlore.csv.s3a 40 5400
