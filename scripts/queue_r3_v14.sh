@@ -54,19 +54,42 @@ clusters() { # system, outdir, cutoff, seed, tag, nsamples, timeout, noise
 timeout 1800 python scripts/slab_bench.py > /tmp/q14_slab_bench.log 2>&1
 note "slab bench rc=$?"
 
-# 1. v13's stage-6 work first (it never reached it): first pyrochlore
-#    CSV, kagome volume, one noise cell
+curve() { # system, schedule, timeout, extra args...
+  local s=$1 sched=$2 to=$3; shift 3
+  timeout "$to" python -m annealing_sign_problem_tpu.experiments.full_hilbert_space \
+    --system "$s" --seed 435834 --output "experiments/$s.csv" \
+    --number-sweeps "$sched" \
+    --repetitions 1024 --trials 10 --fused-trials --bf16 --resume "$@" \
+    >> "/tmp/q14_curve_$s.log" 2>&1 && { note "curve $s ($sched) ok"; return; }
+  note "curve $s ($sched) rc=$?"
+}
+
+# 1. complete the truncated fair curves through 12800 (sk_16_3 stops at
+#    400, j1j2 at 800, sk_16_1/2 at 3200 — --resume skips done points)
+curve sk_16_3 100,200,400,800,1600,3200,6400,12800 4200
+curve sk_16_1 100,200,400,800,1600,3200,6400,12800 4200
+curve sk_16_2 100,200,400,800,1600,3200,6400,12800 4200
+curve j1j2_square_4x4 100,200,400,800,1600,3200,6400,12800 4200
+
+# 2. v13's stage-6 work (it never reached it): first pyrochlore CSV,
+#    kagome volume, one noise cell
 clusters heisenberg_pyrochlore_2x2x2 pyrochlore 2e-06 530030 pyrochlore.csv.s3a 40 5400
 clusters heisenberg_kagome_36 kagome 1e-06 530020 kagome.csv.s3c 50 5400
 clusters heisenberg_kagome_36 kagome 1e-06 530060 kagome_noise.csv.s3n 40 5400 2e-1
 
-# 2. kagome-36 volume toward the Figure-6 scale
+# 3. kagome-36 volume toward the Figure-6 scale
 clusters heisenberg_kagome_36 kagome 1e-06 530040 kagome.csv.s3d 60 5400
 clusters heisenberg_kagome_36 kagome 1e-06 530050 kagome.csv.s3e 60 5400
 clusters heisenberg_kagome_36 kagome 1e-06 530070 kagome.csv.s3f 60 5400
 clusters heisenberg_pyrochlore_2x2x2 pyrochlore 2e-06 530080 pyrochlore.csv.s3b 40 5400
 
-# 3. tail: bank checkpointed sk_32_1 Lanczos restarts until the session
+# 4. curve tails to 51200 (opportunistic)
+curve sk_16_1 25600,51200 5400
+curve sk_16_2 25600,51200 5400
+curve sk_16_3 25600,51200 5400
+curve j1j2_square_4x4 25600,51200 5400
+
+# 5. tail: bank checkpointed sk_32_1 Lanczos restarts until the session
 #    window closes (per-restart checkpoints under /root/sk32_ckpt; a
 #    later round resumes). Bounded, not expected to converge here.
 timeout 14400 python scripts/sk32_ed.py > /tmp/q14_sk32_ed.log 2>&1
