@@ -14,8 +14,30 @@ note() { echo "$(date -u '+%F %T') $*" >> /tmp/queue_v14.log; }
 note "v14 armed, waiting for v13 stage-5 boundary"
 
 V13PID=$(cat /tmp/queue_v13.pid 2>/dev/null)
+# deadlines (epoch seconds): after SOFT, take over at the next v13 stage
+# boundary (a new note line) instead of waiting for the probe; after
+# HARD, take over unconditionally so the curve/cluster stages get TPU
+# time before the session closes.
+SOFT=$(date -d '2026-08-18 02:00' +%s)
+HARD=$(date -d '2026-08-18 03:30' +%s)
+NOTES_AT_SOFT=""
 while kill -0 "$V13PID" 2>/dev/null; do
+  NOW=$(date +%s)
+  if [ "$NOW" -ge "$SOFT" ] && [ -z "$NOTES_AT_SOFT" ]; then
+    NOTES_AT_SOFT=$(wc -l < /tmp/queue_v13.log 2>/dev/null || echo 0)
+    note "soft deadline reached; will take over at the next stage boundary"
+  fi
+  BOUNDARY=""
   if grep -q "sk32 probe rc=" /tmp/queue_v13.log 2>/dev/null; then
+    BOUNDARY=probe
+  elif [ "$NOW" -ge "$HARD" ]; then
+    BOUNDARY=hard-deadline
+  elif [ -n "$NOTES_AT_SOFT" ] \
+      && [ "$(wc -l < /tmp/queue_v13.log 2>/dev/null || echo 0)" -gt "$NOTES_AT_SOFT" ]; then
+    BOUNDARY=soft-deadline-stage-end
+  fi
+  if [ -n "$BOUNDARY" ]; then
+    note "takeover trigger: $BOUNDARY"
     # stage boundary reached: stop v13's orchestrator and its direct
     # children (recorded PIDs only, never name patterns)
     for kid in $(cat "/proc/$V13PID/task/$V13PID/children" 2>/dev/null); do
