@@ -149,13 +149,18 @@ def main(argv=None):
     from ..ops.sweeps_slab import make_slab_plan
 
     colors = greedy_coloring(model.ising_hamiltonian.exchange)
-    exact_bytes = dense_plan_bytes_exact(colors, model.size)
     j_dtype = "bfloat16" if args.bf16 else "float32"
+    # dense_plan_bytes_exact reports the f32 footprint; bf16 halves it,
+    # which pulls kagome-18 (K = 24310, 1.18 GB in bf16) onto the dense
+    # MXU engine instead of the slab fallback
+    exact_bytes = dense_plan_bytes_exact(colors, model.size)
+    if j_dtype != "float32":
+        exact_bytes //= 2
     if exact_bytes <= DENSE_BYTES_LIMIT:
         plan = make_dense_plan(
             model.ising_hamiltonian, colors=colors, j_dtype=j_dtype
         )
-    elif exact_bytes // (1 if j_dtype == "float32" else 2) <= SLAB_TOTAL_LIMIT:
+    elif exact_bytes <= SLAB_TOTAL_LIMIT:
         plan = make_slab_plan(
             model.ising_hamiltonian, colors=colors, j_dtype=j_dtype
         )

@@ -79,6 +79,12 @@ def parse_command_line(argv=None):
     parser.add_argument("--sampled-power", type=float, default=0.1)
     parser.add_argument("--keep-probability", type=float, default=0.5)
     parser.add_argument("--seed", type=int, default=12345)
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted batch: count the data rows already "
+             "in --output and skip that many work items (the scatter is "
+             "deterministic in --seed, so the continuation is exact)",
+    )
     parser.add_argument("--num-workers", type=int, default=1,
                         help="total parallel workers (replaces SLURM array jobs)")
     parser.add_argument("--worker-id", type=int, default=0)
@@ -159,7 +165,18 @@ def process_cluster(cluster, op, ground_state, noisy_ground_state, noisy_log_fn,
 
 def main(argv=None):
     args = parse_command_line(argv)
-    if refuse_to_overwrite(args.output):
+    out_probe = args.output if args.num_workers <= 1 else f"{args.output}.{args.worker_id}"
+    done = 0
+    if args.resume and os.path.exists(out_probe):
+        # per-cluster rows are append-only and the work-item scatter is
+        # deterministic in --seed, so counting data rows and skipping that
+        # many items continues a batch exactly where a relay stall / rc=1
+        # death left it (the round-3 pyrochlore cells died twice at
+        # UNAVAILABLE with 0 rows banked — resume turns that into progress)
+        with open(out_probe) as f:
+            done = sum(1 for ln in f if ln.strip() and not ln.startswith("#"))
+        logger.info("resuming: {} clusters already in {}", done, out_probe)
+    elif refuse_to_overwrite(args.output):
         return 1
 
     op, name = load_system(args)
@@ -185,32 +202,33 @@ def main(argv=None):
     out_path = args.output
     if args.num_workers > 1:
         out_path = f"{args.output}.{args.worker_id}"
-    with open(out_path, "w") as f:
-        f.write(
-            provenance_header(
-                "annealing_sign_problem_tpu.experiments.sampled_connected_components",
-                {
-                    "seed": args.seed,
-                    "order": args.order,
-                    "noise": args.noise,
-                    "global_cutoff": args.global_cutoff,
-                    "sampled_power": args.sampled_power,
-                    "min_cluster_size": args.min_cluster_size,
-                    "max_cluster_size": args.max_cluster_size,
-                    "keep_probability": args.keep_probability,
-                    "number_sweeps": args.number_sweeps,
-                    "repetitions": args.repetitions,
-                    "worker": f"{args.worker_id}/{args.num_workers}",
-                },
+    if done == 0:
+        with open(out_path, "w") as f:
+            f.write(
+                provenance_header(
+                    "annealing_sign_problem_tpu.experiments.sampled_connected_components",
+                    {
+                        "seed": args.seed,
+                        "order": args.order,
+                        "noise": args.noise,
+                        "global_cutoff": args.global_cutoff,
+                        "sampled_power": args.sampled_power,
+                        "min_cluster_size": args.min_cluster_size,
+                        "max_cluster_size": args.max_cluster_size,
+                        "keep_probability": args.keep_probability,
+                        "number_sweeps": args.number_sweeps,
+                        "repetitions": args.repetitions,
+                        "worker": f"{args.worker_id}/{args.num_workers}",
+                    },
+                )
             )
-        )
-        f.write("# " + OptimizationResult.csv_header() + "\n")
+            f.write("# " + OptimizationResult.csv_header() + "\n")
 
     logger.info("Optimizing clusters ...")
     items = distribute_clusters(
         args.number_samples, args.seed, args.num_workers, args.worker_id
     )
-    for i, rng in items:
+    for i, rng in items[done:]:
         seed_spin = sampling.spins[i]
         size = random_cluster_size(args.min_cluster_size, args.max_cluster_size, rng)
         t_grow = time.time()

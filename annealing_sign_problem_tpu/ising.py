@@ -359,6 +359,16 @@ def make_hamiltonian_extension_reltol(
     set."""
     spins = model.spins
     nbrs, coeffs = _apply_padded_host(model.quantum_hamiltonian, spins)
+    # slot 0 of apply_padded is by construction the diagonal (self) term;
+    # the one-hop extension must drop exactly that slot, so fail loudly if
+    # an operator-layout change ever moves it (a silent violation would
+    # corrupt the local-energy cluster machinery downstream)
+    if not np.array_equal(nbrs[:, 0], spins):
+        raise AssertionError(
+            "apply_padded slot 0 is not the diagonal term; "
+            "make_hamiltonian_extension_reltol assumes the self state "
+            "occupies slot 0 of every padded neighbour row"
+        )
     nbrs = nbrs[:, 1:]
     coeffs = coeffs[:, 1:]
 

@@ -210,7 +210,11 @@ def _dense_chunk(
                  step_index.astype(jnp.uint32)]
             )
             _, bits = jax.lax.rng_bit_generator(k, (M, R), dtype=jnp.uint32)
-            u = bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+            # top 24 bits only: exact in f32 and stays in [0, 1) — a full
+            # 32-bit cast rounds-to-nearest and can land exactly on 1.0
+            u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+                1.0 / (1 << 24)
+            )
         else:
             key = jax.random.fold_in(base_key, step_index)
             u = jax.random.uniform(key, (M, R), dtype=jnp.float32)

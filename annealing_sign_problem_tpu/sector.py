@@ -138,6 +138,15 @@ def _matvec_maker(
     dim = sector_dimension(n, k)
     B, G = rows_per_chunk, chunks_per_dispatch
     nl = 128
+    if gather_mode == "row128" and (B * G) % nl != 0:
+        # the row128 layout views x as (Kp/128, 128) lane tiles; the
+        # padded length is rounded to span multiples, so a span that is
+        # not a multiple of 128 would fail at trace time with an opaque
+        # reshape error (the split driver validates the same invariant)
+        raise ValueError(
+            f"gather_mode='row128' needs rows_per_chunk*chunks_per_dispatch "
+            f"divisible by 128, got {B}*{G}={B * G}"
+        )
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def mv_span(x, y, start):
@@ -477,6 +486,12 @@ def ground_state_sector(
             "sector ED (split): n={}, k={}, dim={} as {} pieces of {:.2f} GB",
             n, k, dim_est, num_pieces, per * 4 / 2**30,
         )
+        if dtype != jnp.float32:
+            logger.warning(
+                "ground_state_sector: the piece-split route is f32-only; "
+                "ignoring requested dtype={} (certify the result with a "
+                "streaming f64 residual pass instead)", dtype,
+            )
         rng = np.random.RandomState(seed)
         return two_pass_lanczos_split(
             mv, dim_est, per, num_pieces, num_iter=num_iter,

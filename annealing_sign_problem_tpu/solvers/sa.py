@@ -195,12 +195,17 @@ def _descent_plan(hamiltonian, plan, bucket: bool, repetitions: int = 64):
     trials runs at R ~ 1e4."""
     if isinstance(plan, ColorPlan):
         return plan
-    cached = getattr(plan, "_descent_plan", None)
-    if cached is None:
-        block = 512 if repetitions <= 2048 else max(32, (1 << 29) // (64 * 4 * repetitions))
-        cached = make_color_plan(hamiltonian, block_size=block, bucket=bucket)
-        object.__setattr__(plan, "_descent_plan", cached)
-    return cached
+    block = 512 if repetitions <= 2048 else max(32, (1 << 29) // (64 * 4 * repetitions))
+    # cache per block size: a plan reused across anneal() calls with very
+    # different R must not inherit the first call's (possibly too large)
+    # descent working set
+    cache = getattr(plan, "_descent_plans", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(plan, "_descent_plans", cache)
+    if block not in cache:
+        cache[block] = make_color_plan(hamiltonian, block_size=block, bucket=bucket)
+    return cache[block]
 
 
 def anneal(

@@ -34,6 +34,12 @@ def preempt_experiment_queue():
     import glob
     import signal
 
+    def cmdline(pid):
+        try:
+            return open(f"/proc/{pid}/cmdline", "rb").read().replace(b"\0", b" ").decode()
+        except OSError:
+            return ""
+
     stopped = []
     for pf in glob.glob("/tmp/queue*.pid") + glob.glob("/tmp/s2curve.pid"):
         try:
@@ -43,6 +49,13 @@ def preempt_experiment_queue():
         try:
             os.kill(pid, 0)
         except (ProcessLookupError, PermissionError):
+            continue
+        # identity check: a stale pidfile whose PID was recycled by an
+        # unrelated process must NOT get that process killed — only kill
+        # when the cmdline still looks like one of our queue orchestrators
+        cl = cmdline(pid)
+        if not ("queue_" in cl or "annealing_sign_problem_tpu" in cl):
+            log(f"stale pidfile {pf}: pid {pid} cmdline {cl!r} is not a queue; skipping")
             continue
         # kill the recorded orchestrator AND its direct children (the
         # timeout/python pair) — recorded PIDs only, never name patterns
@@ -64,6 +77,43 @@ def preempt_experiment_queue():
     if stopped:
         log(f"preempted experiment queue pids {sorted(set(stopped))}; waiting 20s")
         time.sleep(20)
+
+
+def wait_for_backend(max_wait_s: float = 1800.0):
+    """The relay occasionally answers `UNAVAILABLE: TPU backend
+    setup/compile error` for 15-20 minutes and then self-recovers
+    (round-3 postmortem: one such hiccup at capture time erased the
+    round's headline number). Probe the backend in a SUBPROCESS — JAX
+    caches a failed backend set for the life of the process — and back
+    off until it answers or the budget runs out."""
+    import subprocess
+
+    probe = "import jax; print(jax.devices())"
+    deadline = time.time() + max_wait_s
+    delay = 60.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True,
+                timeout=max(120.0, min(900.0, deadline - time.time() + 120.0)),
+            )
+            rc, out, err = r.returncode, r.stdout, r.stderr
+        except subprocess.TimeoutExpired:
+            rc, out, err = -1, "", "probe timed out (relay stall)"
+        if rc == 0:
+            log(f"backend probe ok (attempt {attempt}): {out.strip()}")
+            return
+        tail = (err or "").strip().splitlines()[-1:] or ["?"]
+        log(f"backend probe attempt {attempt} failed: {tail[0]}")
+        if time.time() + delay > deadline:
+            log("backend never came back within the retry budget; proceeding "
+                "anyway (the in-process attempt will surface the real error)")
+            return
+        log(f"retrying in {delay:.0f}s")
+        time.sleep(delay)
+        delay = min(2 * delay, 600.0)
 
 
 def build_problem():
@@ -103,7 +153,11 @@ def build_problem():
 
 
 def main():
-    preempt_experiment_queue()
+    # BENCH_NO_PREEMPT=1 lets a queue orchestrator invoke the benchmark as
+    # one of its own stages without killing its own parent process tree
+    if not os.environ.get("BENCH_NO_PREEMPT"):
+        preempt_experiment_queue()
+    wait_for_backend()
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")

@@ -227,3 +227,45 @@ def test_metric_variants_raw_restricted_pinned():
     pinned = pin_uninformative_signs(h, pred_bits, exact_bits)
     pin_acc, _ = compute_accuracy_and_overlap(pinned, exact_bits, weights)
     assert pin_acc == 1.0
+
+
+def test_apply_padded_slot0_is_diagonal(ring8):
+    """make_hamiltonian_extension_reltol drops slot 0 of apply_padded as
+    the diagonal (self) term — a load-bearing layout invariant of the
+    local-energy cluster machinery (reference semantics:
+    sampled_connected_components.py:449-484). Verify the layout, and that
+    the extension raises loudly if it is ever violated."""
+    from annealing_sign_problem_tpu.ising import _apply_padded_host
+
+    op, _, psi = ring8
+    spins = op.basis.states[:17]
+    nbrs, coeffs = _apply_padded_host(op, spins)
+    np.testing.assert_array_equal(nbrs[:, 0], spins)
+    # slot 0 carries the diagonal matrix element <s|H|s>
+    for i in (0, 7, 16):
+        xs, cs = op.apply(np.uint64(spins[i]))
+        diag = dict(zip(xs.tolist(), cs.tolist())).get(int(spins[i]), 0.0)
+        assert coeffs[i, 0] == pytest.approx(diag)
+
+    log_fn = ground_state_to_log_coeff_fn(psi, op.basis)
+    model = make_ising_model(spins, op, log_psi_fn=log_fn)
+
+    class _ShiftedOp:
+        """Operator whose apply_padded rolls slot 0 away (layout break)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.basis = inner.basis
+            self.max_neighbours = inner.max_neighbours
+
+        def apply_padded(self, states):
+            nb, cf = self._inner.apply_padded(states)
+            return np.roll(nb, 1, axis=1), np.roll(cf, 1, axis=1)
+
+    broken = model._replace(quantum_hamiltonian=_ShiftedOp(op)) \
+        if hasattr(model, "_replace") else None
+    if broken is None:
+        import dataclasses
+        broken = dataclasses.replace(model, quantum_hamiltonian=_ShiftedOp(op))
+    with pytest.raises(AssertionError, match="slot 0"):
+        make_hamiltonian_extension_reltol(broken, log_fn, reltol=1e-6)

@@ -177,3 +177,38 @@ def test_ed_runner_cli(ring_yaml, tmp_path):
     psi, energy, reps = load_ground_state(out)
     assert len(reps) == 252  # C(10, 5)
     assert energy < 0
+
+
+def test_sampled_connected_components_resume(ring_yaml, tmp_path):
+    """--resume continues an interrupted batch exactly: a 2-cluster run
+    followed by a resumed 4-cluster run reproduces the one-shot 4-cluster
+    batch row for row (the scatter is deterministic in --seed)."""
+    common = [
+        "--yaml", ring_yaml, "--order", "0", "--min-cluster-size", "4",
+        "--max-cluster-size", "8", "--no-annealing", "--seed", "21",
+    ]
+    full = str(tmp_path / "full.csv")
+    rc = sampled_connected_components.main(
+        common + ["--output", full, "--number-samples", "4"]
+    )
+    assert rc == 0
+
+    part = str(tmp_path / "part.csv")
+    rc = sampled_connected_components.main(
+        common + ["--output", part, "--number-samples", "2"]
+    )
+    assert rc == 0
+    rc = sampled_connected_components.main(
+        common + ["--output", part, "--number-samples", "4", "--resume"]
+    )
+    assert rc == 0
+
+    rows = lambda p: [
+        ln for ln in open(p) if ln.strip() and not ln.startswith("#")
+    ]
+    assert rows(part) == rows(full)
+    # without --resume the driver still refuses to overwrite
+    rc = sampled_connected_components.main(
+        common + ["--output", part, "--number-samples", "4"]
+    )
+    assert rc == 1
