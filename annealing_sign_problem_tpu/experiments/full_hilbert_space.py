@@ -275,6 +275,13 @@ def main(argv=None):
                 np.max(results[:, col]),
             ]
         with open(args.output, "a") as f:
+            # per-row provenance: long-tail points may run fewer trials
+            # than the head of the curve (np.loadtxt skips '#' comments)
+            f.write(
+                f"# sweeps={number_sweeps} repetitions={args.repetitions} "
+                f"trials={args.trials} x0={args.x0} schedule={args.schedule}"
+                f"{' pinned' if args.pin_noise_floor else ''}\n"
+            )
             f.write(",".join(map(str, row)) + "\n")
     return 0
 

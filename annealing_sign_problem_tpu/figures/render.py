@@ -247,6 +247,40 @@ def render_energy_trace(
     return _save(fig, output)
 
 
+# reference P(overlap > 0.995) on kagome-16 at the low sweep counts
+# (/root/reference counterpart: experiments/heisenberg_kagome_16.csv col 7
+# — its failed replicas sit at overlap ~ 1, ours fail with overlap ~ acc)
+_REF_P_OVERLAP_K16 = {100: 0.9999, 400: 0.9980, 1600: 0.9927}
+
+
+def render_overlap_distributions(npz_path: str, output: str) -> str:
+    """Per-replica overlap histograms at several sweep counts
+    (scripts/overlap_distributions.py) — settles the residual-probability
+    column question: the two annealers fail in different SHAPES, so the
+    threshold probabilities are not directly comparable at low sweeps."""
+    data = np.load(npz_path)
+    sweeps = sorted(
+        int(k.split("_")[1]) for k in data.files if k.startswith("overlap_")
+    )
+    fig, axes = plt.subplots(
+        len(sweeps), 1, figsize=(4.5, 1.9 * len(sweeps)), dpi=200, sharex=True
+    )
+    bins = np.linspace(0.0, 1.0, 51)
+    for ax, T, color in zip(np.atleast_1d(axes), sweeps, DARK2):
+        ov = data[f"overlap_{T}"]
+        ax.hist(ov, bins=bins, color=color, alpha=0.85, log=True)
+        ax.axvline(0.995, color="gray", ls="--", lw=1.0)
+        ref = _REF_P_OVERLAP_K16.get(T)
+        label = f"{T} sweeps: ours P(ov) = {np.mean(ov > 0.995):.3f}"
+        if ref is not None:
+            label += f", ref {ref:.3f}"
+        ax.set_ylabel("replicas")
+        ax.text(0.02, 0.9, label, transform=ax.transAxes, fontsize=7, va="top")
+        ax.spines[["top", "right"]].set_visible(False)
+    np.atleast_1d(axes)[-1].set_xlabel("per-replica sign overlap")
+    return _save(fig, output)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser(
         description="Render the paper's figures from experiment CSVs"

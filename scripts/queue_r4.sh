@@ -25,13 +25,15 @@ note "queue r4 started (pid $$)"
 END_TS=$(date -d '2026-08-18 09:50' +%s)
 
 probe_backend() {
-  for d in 0 60 120 240 480 600 600; do
-    sleep "$d"
-    timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1 && return 0
-    note "backend probe failed; backing off"
+  # wait out relay outages (they self-recover in 15-20 min, occasionally
+  # longer): keep probing until the round deadline rather than burning
+  # through the stage list while the backend is down
+  until timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+    note "backend probe failed; retrying in 120s"
     [ "$(date +%s)" -ge "$END_TS" ] && return 1
+    sleep 120
   done
-  return 1
+  return 0
 }
 
 stage() { # name timeout cmd...
