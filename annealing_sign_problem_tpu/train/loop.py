@@ -177,6 +177,13 @@ def find_ground_state(
     the Ising model built from (ED amplitudes x current network phases),
     train the network on the resulting labels, checkpoint, re-evaluate
     full-space metrics.
+
+    When ``config.output`` is set, the loop is resumable: each iteration's
+    SA-labelled dataset is cached (``sa_dataset_{i}.h5``) and each finished
+    iteration's params are checkpointed (``model_{i}``), so a retried run
+    with the same output directory skips completed work while consuming an
+    identical host-rng stream (a resumed run and an uninterrupted one
+    produce the same result).
     """
     rng = make_deterministic(config.seed)
     basis = hamiltonian.basis
@@ -190,30 +197,71 @@ def find_ground_state(
         # (train.py:503)
         scale_field = [0.0] + [None] * config.number_outer_iterations
 
-    metrics = compute_metrics_on_full_space(basis, ground_state, state)
+    # full-space metrics batch: large systems (kagome-36: 31.5M states) go
+    # through a high-latency relay, so fewer/larger dispatches win
+    metrics_batch = 65536 if basis.number_states > (1 << 20) else 16384
+
+    metrics = compute_metrics_on_full_space(
+        basis, ground_state, state, batch_size=metrics_batch
+    )
     logger.info(
         "Accuracy = {}, overlap = {}", metrics["accuracy"], metrics["overlap"]
     )
     history = [metrics]
 
     for i in range(config.number_outer_iterations):
-        logger.info("Starting outer iteration {}...", i + 1)
+        # draw ALL host randomness for this iteration up front, whether or
+        # not the iteration is skipped below: a resumed run must consume the
+        # identical rng stream as an uninterrupted one
         batch_indices = rng.choice(
             basis.number_states, size=config.number_monte_carlo_samples, replace=True, p=p
         )
-        spins = basis.states[batch_indices]
+        sa_seed = int(rng.randint(1 << 31))
+        train_seed = int(rng.randint(1 << 31))
 
+        # relay-stall resume: an iteration whose checkpoint already exists
+        # (this run died after save_checkpoint and was retried) is reloaded
+        # instead of re-run; partial orbax saves are committed atomically so
+        # a directory that exists is a finished iteration
+        if config.output is not None and _checkpoint_exists(config.output, i + 1):
+            state = load_checkpoint(state, config.output, i + 1)
+            metrics = compute_metrics_on_full_space(
+                basis, ground_state, state, batch_size=metrics_batch
+            )
+            logger.info(
+                "Resumed iteration {} from checkpoint: accuracy = {}, overlap = {}",
+                i + 1, metrics["accuracy"], metrics["overlap"],
+            )
+            history.append(metrics)
+            if on_iteration_end is not None:
+                on_iteration_end(i, state, metrics)
+            continue
+
+        logger.info("Starting outer iteration {}...", i + 1)
+        spins = basis.states[batch_indices]
         log_fn = model_log_coeff_fn(amplitudes, state, basis)
-        spins_u, labels, counts = optimize_sign_structure(
-            spins,
-            hamiltonian,
-            log_coeff_fn=log_fn,
-            ground_state=ground_state,
-            number_sweeps=config.number_sa_sweeps,
-            repetitions=config.sa_repetitions,
-            scale_field=scale_field[i] if i < len(scale_field) else None,
-            seed=int(rng.randint(1 << 31)),
-        )
+
+        def _builder():
+            return optimize_sign_structure(
+                spins,
+                hamiltonian,
+                log_coeff_fn=log_fn,
+                ground_state=ground_state,
+                number_sweeps=config.number_sa_sweeps,
+                repetitions=config.sa_repetitions,
+                scale_field=scale_field[i] if i < len(scale_field) else None,
+                seed=sa_seed,
+            )
+
+        if config.output is not None:
+            # the SA label solve is the expensive half of an iteration; cache
+            # it so a death during the subsequent NN training resumes without
+            # re-annealing
+            spins_u, labels, counts = cached_sa_dataset(
+                os.path.join(config.output, f"sa_dataset_{i + 1}.h5"), _builder
+            )
+        else:
+            spins_u, labels, counts = _builder()
 
         state = tune_neural_network(
             state,
@@ -222,12 +270,14 @@ def find_ground_state(
             weights=None,
             epochs=config.number_supervised_epochs,
             batch_size=config.train_batch_size,
-            seed=int(rng.randint(1 << 31)),
+            seed=train_seed,
         )
 
         if config.output is not None:
             save_checkpoint(state, config.output, i + 1)
-        metrics = compute_metrics_on_full_space(basis, ground_state, state)
+        metrics = compute_metrics_on_full_space(
+            basis, ground_state, state, batch_size=metrics_batch
+        )
         logger.info(
             "Accuracy = {}, overlap = {}", metrics["accuracy"], metrics["overlap"]
         )
@@ -309,12 +359,22 @@ def cached_sa_dataset(cache_path: str, builder):
             )
     spins, labels, counts = builder()
     os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
-    with h5py.File(cache_path, "w") as f:
+    # write-then-rename: a run killed mid-write must not leave a truncated
+    # cache that a resumed run would trust
+    wip = cache_path + ".wip"
+    with h5py.File(wip, "w") as f:
         f["spins"] = np.asarray(spins, dtype=np.uint64)
         f["labels"] = np.asarray(labels, dtype=np.int64)
         f["counts"] = np.asarray(counts, dtype=np.int64)
+    os.replace(wip, cache_path)
     logger.info("Cached training dataset to {}", cache_path)
     return spins, labels, counts
+
+
+def _checkpoint_exists(output_dir: str, iteration: int) -> bool:
+    """True when save_checkpoint(·, output_dir, iteration) committed (orbax
+    renames the tmp dir into place only on success, so presence == done)."""
+    return os.path.isdir(os.path.abspath(os.path.join(output_dir, f"model_{iteration}")))
 
 
 def save_checkpoint(state: SignModelState, output_dir: str, iteration: int) -> None:

@@ -151,7 +151,10 @@ def tune_neural_network(
     if on_epoch_end is not None:
         on_epoch_end(0, epochs, float(loss), float(acc))
 
-    params, batch_stats, opt_state = state.params, state.batch_stats, state.opt_state
+    # fresh optimiser state per call, like the reference's per-call torch
+    # optimizer construction (train.py:88-99) — also what makes the outer
+    # loop's checkpoint-resume exact (moments need not be checkpointed)
+    params, batch_stats, opt_state = state.params, state.batch_stats, tx.init(state.params)
     for epoch in range(epochs):
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_epoch(

@@ -131,3 +131,51 @@ def test_find_ground_state_improves(small_system):
     state = find_ground_state(op, psi, state, config)
     assert state.history[-1]["overlap"] > state.history[0]["overlap"]
     assert state.history[-1]["overlap"] > 0.7
+
+
+def test_find_ground_state_resumes(small_system, tmp_path):
+    """A retried run with the same output dir must skip completed
+    iterations (checkpoint + cached SA dataset) and land on the SAME
+    params/metrics as the uninterrupted run (identical host-rng stream)."""
+    op, psi = small_system
+
+    def fresh_state():
+        model = DenseSignModel(number_spins=16, features=(32,), use_batchnorm=False)
+        return init_sign_model(
+            model, op.basis.states[:8], make_optimizer("adam", 1e-2), seed=11
+        )
+
+    config = TrainingConfig(
+        number_sa_sweeps=100,
+        number_supervised_epochs=10,
+        number_monte_carlo_samples=400,
+        number_outer_iterations=2,
+        train_batch_size=128,
+        sa_repetitions=4,
+        seed=21,
+        output=str(tmp_path),
+    )
+    state1 = find_ground_state(op, psi, fresh_state(), config)
+    assert (tmp_path / "sa_dataset_1.h5").exists()
+    assert (tmp_path / "model_2").is_dir()
+
+    # simulate the retry: fresh process state, same output dir
+    state2 = find_ground_state(op, psi, fresh_state(), config)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert state1.history[-1] == state2.history[-1]
+
+    # partial resume: only iteration 1 done -> iteration 2 re-runs from the
+    # cached dataset and reproduces the same final params
+    import shutil
+
+    shutil.rmtree(tmp_path / "model_2")
+    state3 = find_ground_state(op, psi, fresh_state(), config)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state3.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
