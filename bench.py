@@ -250,6 +250,37 @@ def main():
     except Exception as e:
         log(f"philox bench skipped: {e!r}")
 
+    # block-512 layout on the bf16+philox configuration: half the scan
+    # steps per sweep, double the matmul height — pays more class padding,
+    # so measure rather than assume (plan layout change only; the kernel
+    # is identical)
+    b512_rate = float("nan")
+    try:
+        plan512 = make_dense_plan(h, block_size=512, j_dtype="bfloat16")
+        NB5, M5, Kp5 = plan512.J.shape
+        log(f"block-512 plan: {NB5}x{M5}, Kp = {Kp5}")
+        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan512,
+               rng_impl="philox")
+        for trial in range(2):
+            rb = anneal(h, seed=11 + trial, number_sweeps=T, repetitions=R,
+                        plan=plan512, only_best=False, rng_impl="philox")
+            log(f"bf16+philox block-512 trial {trial}: {rb.elapsed:.2f}s -> "
+                f"{rb.flips_per_second:.4g} flips/s")
+            if not (b512_rate > rb.flips_per_second):
+                b512_rate, resb = rb.flips_per_second, rb
+        accsb = np.array(
+            [
+                compute_accuracy_and_overlap(resb.bits_all[r], exact, psi**2)[0]
+                for r in range(R)
+            ]
+        )
+        p_accb = float(np.mean(accsb > 0.995))
+        log(f"bf16+philox block-512 P(acc>0.995) @ {T}: {p_accb:.3f}")
+        if p_accb >= 0.95:
+            best = max(best, b512_rate)
+    except Exception as e:
+        log(f"block-512 bench skipped: {e!r}")
+
     sparse_plan = make_color_plan(h)
     anneal(h, seed=2, number_sweeps=400, repetitions=R, plan=sparse_plan)
     rs = anneal(h, seed=5, number_sweeps=400, repetitions=R, plan=sparse_plan, only_best=False)
@@ -311,6 +342,7 @@ def main():
                     "dense_f32_flips_per_s": f32_rate,
                     "dense_bf16_flips_per_s": bf16_rate,
                     "dense_bf16_philox_flips_per_s": philox_rate,
+                    "dense_bf16_philox_block512_flips_per_s": b512_rate,
                     "dense_mfu_bf16": round(mfu, 3),
                     "sparse_engine_flips_per_s": rs.flips_per_second,
                     "slab_engine_flips_per_s_K33000": slab_rate,
