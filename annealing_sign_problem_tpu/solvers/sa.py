@@ -38,6 +38,13 @@ from . import greedy as _greedy
 # past the HBM-resident budget falls back to the sparse gather engine
 DENSE_BYTES_LIMIT = 3 << 29
 SLAB_TOTAL_LIMIT = 10 << 30  # resident J budget (HBM 16 GB minus state)
+# total per-program buffer budget for one dense-engine dispatch (J + the
+# two (Kp, R) state tensors): fused-trials runs at R ~ 1e4 on kagome-18
+# sized models would reach ~2.4 GB in one program — inside the relay's
+# failure zone — so anneal() splits the replicas into groups that keep
+# each program under this budget (replicas are independent, so this is
+# statistically identical)
+DENSE_PROGRAM_BYTES = 1_800_000_000
 
 __all__ = [
     "anneal",
@@ -317,8 +324,69 @@ def anneal(
         signs0 = 2.0 * rng.randint(0, 2, size=(R, K)).astype(np.float64) - 1.0
 
     descend = int(descent_sweeps) > 0
-    tick = time.perf_counter()
+
+    # replica-group chunking for the dense engine: keep one program's
+    # buffers (J + two (Kp, R) state tensors) under DENSE_PROGRAM_BYTES;
+    # a single group reproduces the unchunked path exactly
+    n_groups = 1
     if engine == "dense":
+        itemsize = 2 if plan.j_dtype == "bfloat16" else 4
+        kp = plan.J.shape[0] * plan.J.shape[1]
+        budget = DENSE_PROGRAM_BYTES - plan.J.size * itemsize
+        per_rep = 2 * kp * itemsize
+        if budget > 0:
+            r_max = max(budget // per_rep, 256)
+            n_groups = -(-R // r_max)
+
+    tick = time.perf_counter()
+    if engine == "dense" and n_groups > 1:
+        # pad R up to a multiple of the group size so every group runs the
+        # SAME compiled shape (remote compiles cost minutes); extras are
+        # sliced off below
+        r_chunk = -(-R // n_groups)
+        Rp = n_groups * r_chunk
+        signs0p = (
+            np.concatenate([signs0, np.repeat(signs0[:1], Rp - R, axis=0)])
+            if Rp > R
+            else signs0
+        )
+        logger.debug(
+            "dense engine: splitting R={} into {} groups of {}", R, n_groups, r_chunk
+        )
+        outs, bests, traces = [], [], []
+        for ci in range(n_groups):
+            g = signs0p[ci * r_chunk : (ci + 1) * r_chunk]
+            seed_g = seed + 1000003 * ci
+            S_g, _, bestS_g, _, trace_g = run_annealing_dense(
+                plan, g, betas, seed=seed_g, track_trace=track_trace,
+                need_final=descend, rng_impl=rng_impl,
+            )
+            if descend:
+                dplan = _descent_plan(hamiltonian, plan, bucket, repetitions=r_chunk)
+                outS_g, _, _, _, _ = run_annealing(
+                    dplan,
+                    S_g[:, :K],
+                    np.full(int(descent_sweeps), 1e30, dtype=np.float64),
+                    seed=seed_g + 1,
+                    need_final=True,
+                )
+            else:
+                outS_g = bestS_g
+            outs.append(outS_g[:, :K])
+            bests.append(bestS_g[:, :K])
+            if track_trace and trace_g is not None:
+                traces.append(trace_g)
+        outS = np.concatenate(outs)[:R]
+        bestS = np.concatenate(bests)[:R]
+        trace = (
+            (
+                np.concatenate([t[0] for t in traces], axis=1)[:, :R],
+                np.concatenate([t[1] for t in traces], axis=1)[:, :R],
+            )
+            if traces
+            else None
+        )
+    elif engine == "dense":
         S, _, bestS, bestE_approx, trace = run_annealing_dense(
             plan, signs0, betas, seed=seed, track_trace=track_trace,
             need_final=descend, rng_impl=rng_impl,
@@ -336,17 +404,18 @@ def anneal(
             plan, signs0, betas, seed=seed, track_trace=track_trace,
             need_final=descend,
         )
-    if descend:
-        dplan = _descent_plan(hamiltonian, plan, bucket, repetitions=R)
-        outS, _, _, _, _ = run_annealing(
-            dplan,
-            S[:, :K],
-            np.full(int(descent_sweeps), 1e30, dtype=np.float64),
-            seed=seed + 1,
-            need_final=True,
-        )
-    else:
-        outS = bestS
+    if not (engine == "dense" and n_groups > 1):
+        if descend:
+            dplan = _descent_plan(hamiltonian, plan, bucket, repetitions=R)
+            outS, _, _, _, _ = run_annealing(
+                dplan,
+                S[:, :K],
+                np.full(int(descent_sweeps), 1e30, dtype=np.float64),
+                seed=seed + 1,
+                need_final=True,
+            )
+        else:
+            outS = bestS
     elapsed = time.perf_counter() - tick
     outS = outS[:, :K]  # drop bucketed padding spins, if any
 

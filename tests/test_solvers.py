@@ -203,3 +203,46 @@ def test_anneal_philox_rng_finds_ground_state():
     for r in range(8):
         signs = bits.bits_to_signs(res.bits_all[r], h.size)
         assert h.energy(signs) == pytest.approx(res.energies_all[r], abs=1e-8)
+
+
+def test_anneal_dense_replica_group_chunking(monkeypatch):
+    """Forcing DENSE_PROGRAM_BYTES low must split the replicas into
+    groups (bounded per-program buffers for fused-trials runs) without
+    changing the result contract: per-replica energies exact, ground
+    state still found, shapes intact."""
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
+    from annealing_sign_problem_tpu.solvers import sa as sa_mod
+
+    h = random_ising(14, 5, seed=11)
+    e_exact, _ = brute_force_minimum(h)
+    plan = make_dense_plan(h)
+    # budget of J + 1 byte -> r_max floors at 256, so R=520 runs as
+    # 3 groups of 174 with 2 padded replicas sliced off
+    monkeypatch.setattr(sa_mod, "DENSE_PROGRAM_BYTES", plan.J.size * 4 + 1)
+    calls = []
+    real_run = sa_mod.run_annealing_dense
+
+    def counting_run(*args, **kwargs):
+        calls.append(args[1].shape)  # signs0 group shape
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(sa_mod, "run_annealing_dense", counting_run)
+    R = 520
+    res = sa_mod.anneal(
+        h, seed=42, number_sweeps=300, repetitions=R, plan=plan,
+        only_best=False,
+    )
+    assert calls == [(174, h.size)] * 3  # one compiled shape, 3 groups
+    assert res.bits_all.shape[0] == R
+    assert res.energies_all.shape == (R,)
+    for r in range(0, R, 37):
+        signs = bits.bits_to_signs(res.bits_all[r], h.size)
+        assert h.energy(signs) == pytest.approx(res.energies_all[r], abs=1e-8)
+    assert res.energies_all.min() == pytest.approx(e_exact, abs=1e-8)
+    # trace chunking: (T, R) concatenated across groups
+    res_t = sa_mod.anneal(
+        h, seed=7, number_sweeps=50, repetitions=R, plan=plan,
+        only_best=False, track_trace=True, descent_sweeps=0,
+    )
+    assert res_t.trace_best.shape == (50, R)
+    assert res_t.trace_current.shape == (50, R)
