@@ -56,7 +56,8 @@ def main():
             out.append("")
         if s == "heisenberg_kagome_18":
             out.append(
-                "_Generated with `--schedule geometric --pin-noise-floor`: "
+                "_Generated with `--pin-noise-floor` (linear cooling over "
+                "the informative coupling window): "
                 "9.9% of this sector's exact amplitudes are exactly zero "
                 "(isolated Ising vertices), so no coupling can determine "
                 "their sign. The reference scores those spins against its "
