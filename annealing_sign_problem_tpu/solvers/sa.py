@@ -25,6 +25,7 @@ from ..ops.sweeps_dense import (
     make_dense_plan,
     run_annealing_dense,
 )
+from ..ops.sweeps_fat import FatPlan, run_annealing_fat
 from ..ops.sweeps_slab import SlabPlan, make_slab_plan, run_annealing_slab
 from ..ops.sweeps_xla import ColorPlan, make_color_plan, run_annealing
 from ..utils.log import logger
@@ -273,6 +274,7 @@ def anneal(
     if plan is not None:
         engine = (
             "dense" if isinstance(plan, DensePlan)
+            else "fat" if isinstance(plan, FatPlan)
             else "slab" if isinstance(plan, SlabPlan)
             else "sparse"
         )
@@ -390,6 +392,11 @@ def anneal(
         S, _, bestS, bestE_approx, trace = run_annealing_dense(
             plan, signs0, betas, seed=seed, track_trace=track_trace,
             need_final=descend, rng_impl=rng_impl,
+        )
+    elif engine == "fat":
+        S, _, bestS, bestE_approx, trace = run_annealing_fat(
+            plan, signs0, betas, seed=seed, track_trace=track_trace,
+            need_final=descend,
         )
     elif engine == "slab":
         if track_trace:

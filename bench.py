@@ -250,6 +250,37 @@ def main():
     except Exception as e:
         log(f"philox bench skipped: {e!r}")
 
+    # color-class ("fat") engine: kagome-16 colors into 9 classes, so a
+    # sweep is 9 class-sized matmuls instead of 55 uniform 256-row block
+    # steps — 6x fewer step overheads AND ~5% less padding (per-class
+    # 128-row alignment beats per-256-block padding)
+    fat_rate = float("nan")
+    try:
+        from annealing_sign_problem_tpu.ops.sweeps_fat import make_fat_plan
+
+        fplan = make_fat_plan(h, j_dtype="bfloat16")
+        log(f"fat plan: {fplan.num_colors} classes, Kp = {fplan.padded_size}")
+        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=fplan)
+        for trial in range(2):
+            rf = anneal(h, seed=13 + trial, number_sweeps=T, repetitions=R,
+                        plan=fplan, only_best=False)
+            log(f"fat bf16 trial {trial}: {rf.elapsed:.2f}s -> "
+                f"{rf.flips_per_second:.4g} flips/s")
+            if not (fat_rate > rf.flips_per_second):
+                fat_rate, resf = rf.flips_per_second, rf
+        accsf = np.array(
+            [
+                compute_accuracy_and_overlap(resf.bits_all[r], exact, psi**2)[0]
+                for r in range(R)
+            ]
+        )
+        p_accf = float(np.mean(accsf > 0.995))
+        log(f"fat bf16 P(acc>0.995) @ {T}: {p_accf:.3f}")
+        if p_accf >= 0.95:
+            best = max(best, fat_rate)
+    except Exception as e:
+        log(f"fat bench skipped: {e!r}")
+
     # block-512 layout on the bf16+philox configuration: half the scan
     # steps per sweep, double the matmul height — pays more class padding,
     # so measure rather than assume (plan layout change only; the kernel
@@ -343,6 +374,7 @@ def main():
                     "dense_bf16_flips_per_s": bf16_rate,
                     "dense_bf16_philox_flips_per_s": philox_rate,
                     "dense_bf16_philox_block512_flips_per_s": b512_rate,
+                    "fat_bf16_flips_per_s": fat_rate,
                     "dense_mfu_bf16": round(mfu, 3),
                     "sparse_engine_flips_per_s": rs.flips_per_second,
                     "slab_engine_flips_per_s_K33000": slab_rate,

@@ -246,3 +246,43 @@ def test_anneal_dense_replica_group_chunking(monkeypatch):
     )
     assert res_t.trace_best.shape == (50, R)
     assert res_t.trace_current.shape == (50, R)
+
+
+def test_anneal_fat_engine_matches_semantics():
+    """The color-class ("fat") engine: same sweep semantics as the block
+    dense engine — finds the exact optimum on a tiny instance, reports
+    exact per-replica energies, and its plan pads less than the block
+    layout."""
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
+    from annealing_sign_problem_tpu.ops.sweeps_fat import make_fat_plan
+
+    h = random_ising(14, 5, seed=11)
+    e_exact, _ = brute_force_minimum(h)
+    plan = make_fat_plan(h)
+    assert plan.padded_size % 128 == 0
+    res = anneal(
+        h, seed=42, number_sweeps=300, repetitions=32, plan=plan,
+        only_best=False,
+    )
+    assert res.energies_all.min() == pytest.approx(e_exact, abs=1e-8)
+    for r in range(32):
+        signs = bits.bits_to_signs(res.bits_all[r], h.size)
+        assert h.energy(signs) == pytest.approx(res.energies_all[r], abs=1e-8)
+
+    # a bigger structured instance: padding advantage + quality parity
+    h2 = random_ising(600, 12, seed=3)
+    dp = make_dense_plan(h2)
+    fp = make_fat_plan(h2)
+    assert fp.padded_size <= dp.padded_size
+    r_dense = anneal(h2, seed=5, number_sweeps=200, repetitions=16,
+                     plan=dp, only_best=False)
+    r_fat = anneal(h2, seed=5, number_sweeps=200, repetitions=16,
+                   plan=fp, only_best=False)
+    # engines share semantics, not RNG streams: compare best energies
+    assert r_fat.energies_all.min() == pytest.approx(
+        r_dense.energies_all.min(), rel=0.02
+    )
+    # trace shape contract
+    r_t = anneal(h, seed=7, number_sweeps=50, repetitions=8, plan=plan,
+                 only_best=False, track_trace=True, descent_sweeps=0)
+    assert r_t.trace_best.shape == (50, 8)
