@@ -146,7 +146,11 @@ def make_schedule(beta0: float, beta1: float, T: int, kind: str = "linear") -> n
     t = np.arange(T)
     if kind == "linear":
         temps = (1.0 / beta0) + ((1.0 / beta1) - (1.0 / beta0)) * t / max(T - 1, 1)
-        return 1.0 / temps
+        # the final step computes temp as a + (b - a) with b ~ 1e-36:
+        # the subtraction cancels b entirely and the sum underflows to
+        # exactly 0, turning beta into inf past the 1e36 cap estimate_betas
+        # promises — clamp to the target temperature floor instead
+        return 1.0 / np.maximum(temps, 1.0 / beta1)
     return beta0 * (beta1 / beta0) ** (t / max(T - 1, 1))
 
 
