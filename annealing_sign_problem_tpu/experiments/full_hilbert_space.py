@@ -92,6 +92,14 @@ def parse_command_line(argv=None):
              "and start) and far better MXU utilisation",
     )
     parser.add_argument(
+        "--descent-sweeps", type=int, default=20,
+        help="zero-temperature descent epilogue on the exact-f32 sparse "
+             "engine (solvers.sa.anneal default: 20). The descent "
+             "converts near-converged glassy replicas, which matters "
+             "most at small sweep budgets; recorded in each row's "
+             "provenance comment",
+    )
+    parser.add_argument(
         "--bf16", action="store_true",
         help="bf16 couplings+state in the MXU engines (halves the device "
              "footprint; the exact-f32 descent phase still lands "
@@ -205,6 +213,7 @@ def main(argv=None):
             only_best=False,
             plan=plan,
             schedule=args.schedule,
+            descent_sweeps=args.descent_sweeps,
             # pinned spins are overwritten after solving, so don't spend
             # the cooling window on their sub-noise-floor decades
             # (kagome-18: 37 total, 13 informative)
@@ -279,7 +288,8 @@ def main(argv=None):
             # than the head of the curve (np.loadtxt skips '#' comments)
             f.write(
                 f"# sweeps={number_sweeps} repetitions={args.repetitions} "
-                f"trials={args.trials} x0={args.x0} schedule={args.schedule}"
+                f"trials={args.trials} x0={args.x0} schedule={args.schedule} "
+                f"descent={args.descent_sweeps}"
                 f"{' pinned' if args.pin_noise_floor else ''}\n"
             )
             f.write(",".join(map(str, row)) + "\n")
