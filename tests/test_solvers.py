@@ -286,3 +286,40 @@ def test_anneal_fat_engine_matches_semantics():
     r_t = anneal(h, seed=7, number_sweeps=50, repetitions=8, plan=plan,
                  only_best=False, track_trace=True, descent_sweeps=0)
     assert r_t.trace_best.shape == (50, 8)
+
+
+def test_anneal_restarts_work_conserving_and_consistent():
+    """restarts=n: same replica count out, exact energies consistent with
+    the reported bits, total attempted flips conserved, and the reduction
+    is exactly the per-group energy argmin of the equivalent flat run."""
+    h = random_ising(64, 6, seed=11, field=True)
+    R, T, n = 32, 120, 4
+    multi = anneal(
+        h, seed=7, number_sweeps=T, repetitions=R, only_best=False, restarts=n
+    )
+    assert multi.bits_all.shape[0] == R
+    assert multi.energies_all.shape == (R,)
+    # reported energies are the exact energies of the reported states
+    signs = bits.bits_to_signs_batched(multi.bits_all, h.size)
+    np.testing.assert_allclose(h.energies(signs), multi.energies_all, rtol=1e-12)
+    # work-conserving: n chains of T//n sweeps (+ per-chain descent)
+    assert multi.attempted_flips == n * R * h.size * (T // n + 20)
+    # the restart recursion IS the flat R*n-chain run reduced by group
+    # energy argmin (same seed -> identical chains)
+    flat = anneal(
+        h, seed=7, number_sweeps=T // n, repetitions=R * n, only_best=False
+    )
+    grouped = flat.energies_all.reshape(R, n)
+    np.testing.assert_allclose(
+        multi.energies_all, grouped.min(axis=1), rtol=1e-12
+    )
+    pick = np.arange(R) * n + grouped.argmin(axis=1)
+    np.testing.assert_array_equal(multi.bits_all, flat.bits_all[pick])
+
+
+def test_anneal_restarts_only_best_and_clamp():
+    h = random_ising(24, 4, seed=3)
+    # restarts > number_sweeps clamps instead of producing 0-sweep chains
+    x, e = anneal(h, seed=1, number_sweeps=3, repetitions=4, restarts=8)
+    signs = bits.bits_to_signs(x, h.size)
+    assert e == pytest.approx(h.energy(signs), rel=1e-12)
