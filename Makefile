@@ -47,8 +47,9 @@ small: $(addprefix experiments/,$(addsuffix .csv,$(SMALL_SYSTEMS)))
 # kagome-18 is the one small system with noise-floor spins (9.9% exactly-
 # zero amplitudes): its committed curve uses --pin-noise-floor, which also
 # switches the beta ramp to the informative coupling window (RESULTS.md
-# "Cooling-schedule study")
-CURVE_EXTRA_heisenberg_kagome_18 = --pin-noise-floor
+# "Cooling-schedule study"), and restart splitting (RESULTS.md
+# "Restart-splitting study"; work-conserving, solvers/sa.py anneal)
+CURVE_EXTRA_heisenberg_kagome_18 = --pin-noise-floor --restarts auto
 
 experiments/%.csv:
 	$(RUN) annealing_sign_problem_tpu.experiments.full_hilbert_space \
