@@ -100,6 +100,12 @@ def parse_command_line(argv=None):
              "provenance comment",
     )
     parser.add_argument(
+        "--engine", choices=["auto", "dense", "slab", "sparse"], default="auto",
+        help="override the footprint-based engine tiering (e.g. 'sparse' "
+             "forces the f32 gather engine — the right choice on CPU, "
+             "where bf16 matmuls are emulated)",
+    )
+    parser.add_argument(
         "--restarts", type=str, default="1",
         help="split each replica's sweep budget across N independent "
              "chains and report the lowest-energy one (work-conserving; "
@@ -173,11 +179,17 @@ def main(argv=None):
     exact_bytes = dense_plan_bytes_exact(colors, model.size)
     if j_dtype != "float32":
         exact_bytes //= 2
-    if exact_bytes <= DENSE_BYTES_LIMIT:
+    if args.engine == "sparse":
+        plan = make_color_plan(model.ising_hamiltonian, colors=colors)
+    elif args.engine == "dense" or (
+        args.engine == "auto" and exact_bytes <= DENSE_BYTES_LIMIT
+    ):
         plan = make_dense_plan(
             model.ising_hamiltonian, colors=colors, j_dtype=j_dtype
         )
-    elif exact_bytes <= SLAB_TOTAL_LIMIT:
+    elif args.engine == "slab" or (
+        args.engine == "auto" and exact_bytes <= SLAB_TOTAL_LIMIT
+    ):
         plan = make_slab_plan(
             model.ising_hamiltonian, colors=colors, j_dtype=j_dtype
         )
