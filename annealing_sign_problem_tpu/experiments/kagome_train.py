@@ -53,6 +53,15 @@ def parse_command_line(argv=None):
              "down to fit a TPU time budget",
     )
     parser.add_argument("--seed", type=int, default=12345)
+    parser.add_argument(
+        "--sa-engine", type=str, default="auto",
+        choices=["auto", "dense", "slab", "sparse"],
+        help="annealer engine for the label solves (solvers.sa.anneal)")
+    parser.add_argument(
+        "--metrics-subsample", type=int, default=None,
+        help="estimate the full-space accuracy/overlap from this many "
+             "sampled states instead of all of them (unbiased, stderr "
+             "~N^-1/2; see train.loop.compute_metrics_on_full_space)")
     return parser.parse_args(argv)
 
 
@@ -117,10 +126,14 @@ def main(argv=None):
             sampled_power=args.sampled_power,
             output=args.output,
             seed=args.seed,
+            sa_engine=args.sa_engine,
+            metrics_subsample=args.metrics_subsample,
         )
         find_ground_state(op, psi, state, config)
 
-    info = compute_metrics_on_full_space(op.basis, psi, state)
+    info = compute_metrics_on_full_space(
+        op.basis, psi, state, subsample=args.metrics_subsample
+    )
     logger.info("Final accuracy: {}; overlap: {}", info["accuracy"], info["overlap"])
     writer.close()
     print(f"{info['accuracy']},{info['overlap']}")

@@ -344,20 +344,29 @@ def anneal(
             else "sparse"
         )
     elif engine == "auto":
-        # color once, decide on the EXACT densified footprint (per-color
-        # padding can exceed the cheap estimate), reuse the coloring below
-        from .coloring import greedy_coloring
+        import jax
 
-        colors = greedy_coloring(hamiltonian.exchange)
-        exact = dense_plan_bytes_exact(colors, K, block_size or 256, bucket)
-        if exact <= DENSE_BYTES_LIMIT:
-            engine = "dense"
-        elif exact <= SLAB_TOTAL_LIMIT:
-            engine = "slab"
-        elif exact // 2 <= SLAB_TOTAL_LIMIT:
-            engine, slab_dtype = "slab", "bfloat16"
-        else:
+        if jax.default_backend() == "cpu":
+            # the dense/slab/fat engines trade O(K) gather work for O(K^2)
+            # matmuls — a win only on the MXU. On a CPU backend (tests,
+            # host-side fallback workers) the sparse gather engine is the
+            # right tier at every K.
             engine = "sparse"
+        else:
+            # color once, decide on the EXACT densified footprint (per-color
+            # padding can exceed the cheap estimate), reuse the coloring below
+            from .coloring import greedy_coloring
+
+            colors = greedy_coloring(hamiltonian.exchange)
+            exact = dense_plan_bytes_exact(colors, K, block_size or 256, bucket)
+            if exact <= DENSE_BYTES_LIMIT:
+                engine = "dense"
+            elif exact <= SLAB_TOTAL_LIMIT:
+                engine = "slab"
+            elif exact // 2 <= SLAB_TOTAL_LIMIT:
+                engine, slab_dtype = "slab", "bfloat16"
+            else:
+                engine = "sparse"
     if plan is None:
         if engine == "dense":
             plan = make_dense_plan(

@@ -51,6 +51,12 @@ class TrainingConfig:
     output: Optional[str] = None
     seed: int = 12345
     scale_field: Optional[Sequence[Optional[float]]] = None  # per-iteration
+    sa_engine: str = "auto"  # solvers.sa.anneal engine override
+    # estimate full-space metrics from this many sampled states instead of
+    # evaluating the network on every basis state (None = exact). Needed
+    # when the basis is huge and the evaluation budget is not (a kagome-36
+    # full-space pass is 31.5M forward evaluations).
+    metrics_subsample: Optional[int] = None
 
 
 def make_deterministic(seed: Optional[int]) -> np.random.RandomState:
@@ -93,6 +99,7 @@ def optimize_sign_structure(
     scale_field: Optional[float] = 0.0,
     seed: Optional[int] = None,
     cheat: bool = False,
+    engine: str = "auto",
 ):
     """Assign sign labels to a sampled spin set.
 
@@ -128,6 +135,7 @@ def optimize_sign_structure(
         repetitions=repetitions,
         only_best=True,
         bucket=True,  # outer iterations resample K; bound the kernel shapes
+        engine=engine,
     )
     signs = _bits.bits_to_signs(x, model.size)
     signs0 = _bits.bits_to_signs(model.initial_signs, model.size)
@@ -151,15 +159,53 @@ def compute_metrics_on_full_space(
     ground_state: np.ndarray,
     state: SignModelState,
     batch_size: int = 16384,
+    subsample: Optional[int] = None,
 ) -> Dict[str, float]:
     """Unweighted accuracy + psi^2-weighted overlap of the network's signs
-    over the whole basis (train.py:1216-1240)."""
+    over the whole basis (train.py:1216-1240).
+
+    ``subsample=N`` (N < number of basis states) switches to an unbiased
+    Monte-Carlo estimate: accuracy from N uniform basis draws, overlap from
+    N psi^2-distributed draws (the overlap IS the psi^2-expectation of the
+    per-state sign agreement, so sampling states ~ psi^2 and averaging the
+    +-1 agreement estimates it directly). Standard error ~ N^{-1/2}; the
+    returned dict carries ``metrics_subsample`` so logs/metrics files
+    record that the numbers are estimates. The draw uses a fixed internal
+    seed, so successive calls score the SAME evaluation set — differences
+    across training iterations reflect the network, not sampling noise. Used when the basis is orders
+    of magnitude larger than the evaluation budget (kagome-36: 31.5M
+    states)."""
+    ground_state = np.asarray(ground_state)
+    n = basis.number_states
+    if subsample is not None and subsample < n:
+        rng = np.random.RandomState(0x5AB5A)
+        correct = (ground_state < 0).astype(np.int64)
+
+        def agreement(indices: np.ndarray) -> np.ndarray:
+            # states repeat under concentrated psi^2 sampling: evaluate the
+            # network once per unique state and scatter back
+            uniq, inverse = np.unique(indices, return_inverse=True)
+            logits = forward_logits(state, basis.states[uniq], batch_size)
+            predicted = np.argmax(logits, axis=1)
+            return (predicted == correct[uniq]).astype(np.float64)[inverse]
+
+        acc_idx = rng.randint(0, n, size=subsample)
+        accuracy = float(np.mean(agreement(acc_idx)))
+        weights = ground_state.astype(np.float64) ** 2
+        weights /= weights.sum()
+        ov_idx = rng.choice(n, size=subsample, replace=True, p=weights)
+        overlap = float(np.abs(np.mean(2.0 * agreement(ov_idx) - 1.0)))
+        return {
+            "accuracy": accuracy,
+            "overlap": overlap,
+            "metrics_subsample": float(subsample),
+        }
     logits = forward_logits(state, basis.states, batch_size)
     predicted = np.argmax(logits, axis=1)
-    correct = (np.asarray(ground_state) < 0).astype(np.int64)
+    correct = (ground_state < 0).astype(np.int64)
     mask = predicted == correct
     accuracy = float(np.mean(mask))
-    weights = np.asarray(ground_state) ** 2
+    weights = ground_state ** 2
     overlap = float(np.abs(np.dot(2.0 * mask - 1.0, weights / weights.sum())))
     return {"accuracy": accuracy, "overlap": overlap}
 
@@ -202,7 +248,8 @@ def find_ground_state(
     metrics_batch = 65536 if basis.number_states > (1 << 20) else 16384
 
     metrics = compute_metrics_on_full_space(
-        basis, ground_state, state, batch_size=metrics_batch
+        basis, ground_state, state, batch_size=metrics_batch,
+        subsample=config.metrics_subsample,
     )
     logger.info(
         "Accuracy = {}, overlap = {}", metrics["accuracy"], metrics["overlap"]
@@ -226,7 +273,8 @@ def find_ground_state(
         if config.output is not None and _checkpoint_exists(config.output, i + 1):
             state = load_checkpoint(state, config.output, i + 1)
             metrics = compute_metrics_on_full_space(
-                basis, ground_state, state, batch_size=metrics_batch
+                basis, ground_state, state, batch_size=metrics_batch,
+                subsample=config.metrics_subsample,
             )
             logger.info(
                 "Resumed iteration {} from checkpoint: accuracy = {}, overlap = {}",
@@ -251,6 +299,7 @@ def find_ground_state(
                 repetitions=config.sa_repetitions,
                 scale_field=scale_field[i] if i < len(scale_field) else None,
                 seed=sa_seed,
+                engine=config.sa_engine,
             )
 
         if config.output is not None:
@@ -276,7 +325,8 @@ def find_ground_state(
         if config.output is not None:
             save_checkpoint(state, config.output, i + 1)
         metrics = compute_metrics_on_full_space(
-            basis, ground_state, state, batch_size=metrics_batch
+            basis, ground_state, state, batch_size=metrics_batch,
+            subsample=config.metrics_subsample,
         )
         logger.info(
             "Accuracy = {}, overlap = {}", metrics["accuracy"], metrics["overlap"]
