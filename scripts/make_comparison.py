@@ -44,13 +44,30 @@ def main():
     for s in SYSTEMS:
         ours_path = os.path.join(REPO, "experiments", f"{s}.csv")
         ref_path = os.path.join(REF, f"{s}.csv")
+        cpu_fallback = False
         if not os.path.exists(ours_path):
-            out += [f"## {s}", "", "_no committed curve yet_", ""]
-            continue
+            # a TPU-relay outage window can leave only the host-side curve
+            # (same driver, same thresholds, sparse engine, smaller stats);
+            # compare against it rather than hiding the system
+            cpu_path = os.path.join(REPO, "experiments", f"{s}_cpu.csv")
+            if os.path.exists(cpu_path):
+                ours_path, cpu_fallback = cpu_path, True
+            else:
+                out += [f"## {s}", "", "_no committed curve yet_", ""]
+                continue
         ours, ref = load(ours_path), load(ref_path)
         single_trial = all(v[2] == 0.0 for v in ours.values())
         out.append(f"## {s}")
         out.append("")
+        if cpu_fallback:
+            out.append(
+                "_CPU-fallback curve (`" + os.path.basename(ours_path) +
+                "`): same driver and thresholds, sparse engine on the "
+                "host, smaller statistics (see the per-row provenance "
+                "comments in the CSV). Captured while the TPU relay was "
+                "unavailable._"
+            )
+            out.append("")
         if single_trial:
             out.append("_WARNING: our file is single-trial (std columns are 0)._")
             out.append("")
