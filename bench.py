@@ -152,12 +152,89 @@ def build_problem():
     return model, psi, exact
 
 
+def backend_available() -> bool:
+    """One subprocess probe (a failed in-process backend init is cached
+    for the life of the process, so never probe in-process)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=900,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def cpu_fallback_capture() -> None:
+    """Same workload, CPU backend, clearly labelled. Round-3 postmortem:
+    a relay outage at capture time turned the round's headline number
+    into rc=1. A multi-hour outage (round 4 saw >4 h) makes retrying
+    futile; an honestly-labelled host capture demonstrates the capture
+    path end-to-end and records WHY the TPU number is absent. The last
+    banked TPU capture is cited in the details."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from annealing_sign_problem_tpu.metrics import compute_accuracy_and_overlap
+    from annealing_sign_problem_tpu.solvers import anneal
+
+    model, psi, exact = build_problem()
+    h = model.ising_hamiltonian
+    R, T = 128, 200
+    log(f"CPU fallback: K = {h.size}, R = {R}, T = {T} (sparse engine)")
+    anneal(h, seed=2, number_sweeps=T, repetitions=R)  # compile
+    best, res0 = 0.0, None
+    for trial in range(2):
+        r = anneal(h, seed=3 + trial, number_sweeps=T, repetitions=R,
+                   only_best=False)
+        log(f"trial {trial}: {r.elapsed:.2f}s -> {r.flips_per_second:.4g} flips/s")
+        best = max(best, r.flips_per_second)
+        res0 = res0 or r
+    accs = np.array(
+        [
+            compute_accuracy_and_overlap(res0.bits_all[r], exact, psi**2)[0]
+            for r in range(R)
+        ]
+    )
+    p_acc = float(np.mean(accs > 0.995))
+    print(
+        json.dumps(
+            {
+                "metric": "attempted spin flips/sec (kagome-16 full basis)",
+                "value": best,
+                "unit": "flips/s [CPU-backend fallback: TPU relay "
+                        "unavailable through the capture window]",
+                "vs_baseline": best / BASELINE_FLIPS_PER_SEC,
+                "details": {
+                    "fallback": "cpu",
+                    "p_acc_gt_0995": p_acc,
+                    "last_tpu_capture_flips_per_s": 2.63e9,
+                    "last_tpu_capture": "BENCH_r02.json (same workload, R=1024)",
+                },
+            }
+        )
+    )
+
+
 def main():
     # BENCH_NO_PREEMPT=1 lets a queue orchestrator invoke the benchmark as
     # one of its own stages without killing its own parent process tree
+    if os.environ.get("ASP_BENCH_CPU"):
+        cpu_fallback_capture()
+        return
     if not os.environ.get("BENCH_NO_PREEMPT"):
         preempt_experiment_queue()
     wait_for_backend()
+    if not backend_available():
+        log("TPU backend never recovered; re-running the capture on the "
+            "CPU backend in a fresh process (labelled in the JSON unit)")
+        import subprocess
+
+        env = dict(os.environ, ASP_BENCH_CPU="1")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        sys.exit(r.returncode)
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
