@@ -57,9 +57,9 @@ STAGES = [
 ]
 
 which = sys.argv[1:] or [name for name, _ in STAGES]
-for name, argv in STAGES:
-    if name not in which:
-        continue
+stages_by_name = dict(STAGES)
+for name in which:  # argv order IS the execution order
+    argv = stages_by_name[name]
     print(f"=== stage {name}", flush=True)
     sys.argv = ["scc", "--system", "heisenberg_kagome_36",
                 "--resume"] + argv
