@@ -100,7 +100,9 @@ def main(argv=None):
 
         def on_epoch_end(epoch, epochs, loss, accuracy=None):
             if epoch % 50 == 0:
-                info = compute_metrics_on_full_space(op.basis, psi, state)
+                info = compute_metrics_on_full_space(
+                    op.basis, psi, state, subsample=args.metrics_subsample
+                )
                 logger.debug(
                     "[{}/{}]: loss = {}, accuracy = {}, overlap = {}",
                     epoch, epochs, loss, info["accuracy"], info["overlap"],
@@ -108,7 +110,9 @@ def main(argv=None):
                 writer.scalars(info, epoch)
             writer.scalar("loss", loss, epoch)
 
-        info = compute_metrics_on_full_space(op.basis, psi, state)
+        info = compute_metrics_on_full_space(
+            op.basis, psi, state, subsample=args.metrics_subsample
+        )
         logger.info("Accuracy: {}; overlap: {}", info["accuracy"], info["overlap"])
         tune_neural_network(
             state, spins, labels, weights=counts,
