@@ -47,6 +47,13 @@ STAGES = [
          "--number-samples", "120"],
     ),
     (
+        "noise_mid",
+        ["--order", "2", "--seed", "991040",
+         "--output", f"{BASE}/noise_1e-2/cutoff_1e-06/kagome_noise.csv.r4cpu",
+         "--noise", "1e-2", "--no-annealing", "--global-cutoff", "1e-06",
+         "--number-samples", "24"],
+    ),
+    (
         "sa_cell_o1",
         ["--order", "1", "--seed", "991020",
          "--output", f"{BASE}/noise_0/cutoff_1e-06/kagome_sa_o1.csv.r4cpu",
