@@ -10,7 +10,12 @@ R() { python -m annealing_sign_problem_tpu.figures.render "$@"; }
 args=()
 for s in heisenberg_kagome_16 heisenberg_kagome_18 j1j2_square_4x4 \
          sk_16_1 sk_16_2 sk_16_3; do
-  [ -f "experiments/$s.csv" ] && args+=(--csv "$s=experiments/$s.csv")
+  if [ -f "experiments/$s.csv" ]; then
+    args+=(--csv "$s=experiments/$s.csv")
+  elif [ -f "experiments/${s}_cpu.csv" ]; then
+    # host-captured curve (TPU relay outage window) — same schema
+    args+=(--csv "$s=experiments/${s}_cpu.csv")
+  fi
 done
 R small "${args[@]}" --output figures_out/annealing_on_small_systems.png
 
