@@ -268,16 +268,22 @@ def establish_baseline(argv=None):
         spins = sampling.spins
         weights = np.ones(len(spins))
 
-    energies = np.array(
-        [
+    energies = []
+    for k, s in enumerate(spins):
+        energies.append(
             compute_local_energy_for_sample(
                 int(s), op, log_fn, ground_state=psi, mode=args.mode,
                 number_sweeps=args.number_sweeps, repetitions=args.repetitions,
                 seed=int(rng.randint(1 << 31)),
             )
-            for s in spins
-        ]
-    )
+        )
+        if (k + 1) % 8 == 0 or k + 1 == len(spins):
+            running = float(np.mean(np.real(energies)))
+            logger.info(
+                "local energies: {}/{} (running mean {})",
+                k + 1, len(spins), running,
+            )
+    energies = np.array(energies)
     weights = weights / weights.sum()
     mean = float(np.sum(weights * energies.real))
     var = float(np.sum(weights * (energies.real - mean) ** 2))
