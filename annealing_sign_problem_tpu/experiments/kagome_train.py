@@ -41,7 +41,16 @@ def parse_command_line(argv=None):
     parser.add_argument("--epochs", type=int, default=300)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--learning-rate", type=float, default=1e-1)
+    parser.add_argument("--momentum", type=float, default=0.0,
+                        help="SGD momentum (reference kagome_36_annealing: "
+                             "0.8, train.py:1612)")
     parser.add_argument("--optimizer", type=str, default="sgd")
+    parser.add_argument(
+        "--model", choices=["auto", "kagome", "dense"], default="auto",
+        help="'kagome': lattice-convolution sign net; 'dense': the "
+             "8x64 batchnorm MLP the reference's kagome_36_annealing "
+             "actually trains (train.py:1632); 'auto': kagome when an "
+             "adjacency table exists")
     parser.add_argument("--sampled-power", type=float, default=1.5)
     parser.add_argument("--number-outer-iterations", type=int, default=2)
     parser.add_argument("--number-sa-sweeps", type=int, default=10000)
@@ -72,17 +81,23 @@ def main(argv=None):
     psi = psi / np.linalg.norm(psi)
     n = op.basis.number_spins
 
-    if n in (12, 36):
-        model = KagomeSignNetwork(number_spins=n, channels=args.channels)
+    if args.model == "dense" or (args.model == "auto" and n not in (12, 36)):
+        if args.model == "auto":
+            logger.warning(
+                "no lattice-convolution table for {} spins; using DenseSignModel", n
+            )
+        model = DenseSignModel(number_spins=n, features=(64,) * 8,
+                               use_batchnorm=True)
     else:
-        logger.warning(
-            "no lattice-convolution table for {} spins; using DenseSignModel", n
-        )
-        model = DenseSignModel(number_spins=n, features=(64, 64), use_batchnorm=False)
+        model = KagomeSignNetwork(number_spins=n, channels=args.channels)
 
+    opt_kwargs = {}
+    if args.optimizer == "sgd" and args.momentum:
+        opt_kwargs["momentum"] = args.momentum
     state = init_sign_model(
         model, op.basis.states[:8],
-        make_optimizer(args.optimizer, args.learning_rate), seed=args.seed,
+        make_optimizer(args.optimizer, args.learning_rate, **opt_kwargs),
+        seed=args.seed,
     )
     writer = MetricsWriter(args.output)
     rng = np.random.RandomState(args.seed)

@@ -108,12 +108,22 @@ def tune_neural_network(
     n = spins.shape[0]
     spins = jnp.asarray(np.asarray(spins, dtype=np.uint64))
     labels = jnp.asarray(np.asarray(target_labels, dtype=np.int32))
+    # The reference's weighted CE uses RAW weights (None -> ones;
+    # loss = dot(CE, w) per batch — train.py:37-38,73-76), so the per-batch
+    # gradient scale is independent of the dataset size. Normalising w to
+    # sum to 1 over the FULL set (an earlier revision) shrank gradients by
+    # n/batch_size and silently froze training at large n (kagome-36,
+    # n ~ 2e4: 75x weaker steps than the reference). Keep relative weights
+    # but fix the MEAN weight to 1.
     if weights is None:
-        w = np.full(n, 1.0 / n)
+        w = np.ones(n)
     else:
         w = np.asarray(weights, dtype=np.float64)
-        w = w / w.sum()
+        w = w * (n / w.sum())
     w = jnp.asarray(w, dtype=jnp.float32)
+    # loss values are reported/thresholded per unit weight so that
+    # early_stop_loss keeps its mean-CE meaning
+    total_w = float(n)
 
     num_batches = max(n // batch_size, 1)
     apply_fn, tx = state.apply_fn, state.tx
@@ -149,7 +159,7 @@ def tune_neural_network(
     key = jax.random.PRNGKey(seed)
     loss, acc = eval_all(state.params, state.batch_stats)
     if on_epoch_end is not None:
-        on_epoch_end(0, epochs, float(loss), float(acc))
+        on_epoch_end(0, epochs, float(loss) / total_w, float(acc) / total_w)
 
     # fresh optimiser state per call, like the reference's per-call torch
     # optimizer construction (train.py:88-99) — also what makes the outer
@@ -160,18 +170,19 @@ def tune_neural_network(
         params, batch_stats, opt_state, loss = train_epoch(
             params, batch_stats, opt_state, sub
         )
-        loss = float(loss)
+        loss = float(loss) / total_w
         if loss < early_stop_loss:
             logger.info("Stopping early because loss is low enough...")
             break
         if on_epoch_end is not None and (epoch + 1) % 10 == 0:
             eloss, eacc = eval_all(params, batch_stats)
-            on_epoch_end(epoch + 1, epochs, float(eloss), float(eacc))
+            on_epoch_end(epoch + 1, epochs, float(eloss) / total_w,
+                         float(eacc) / total_w)
 
     state.params, state.batch_stats, state.opt_state = params, batch_stats, opt_state
     loss, acc = eval_all(params, batch_stats)
     if on_epoch_end is not None:
-        on_epoch_end(epochs, epochs, float(loss), float(acc))
+        on_epoch_end(epochs, epochs, float(loss) / total_w, float(acc) / total_w)
     return state
 
 
