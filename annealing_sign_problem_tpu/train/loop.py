@@ -312,11 +312,15 @@ def find_ground_state(
         else:
             spins_u, labels, counts = _builder()
 
+        # |psi|^p training weights over the unique sampled spins (the
+        # reference's kagome_36_annealing, train.py:1705-1708); only the
+        # relative values matter — the trainer renormalises per batch
+        train_weights = amplitudes[basis.index(spins_u)] ** config.sampled_power
         state = tune_neural_network(
             state,
             spins_u,
             labels,
-            weights=None,
+            weights=train_weights,
             epochs=config.number_supervised_epochs,
             batch_size=config.train_batch_size,
             seed=train_seed,

@@ -108,22 +108,20 @@ def tune_neural_network(
     n = spins.shape[0]
     spins = jnp.asarray(np.asarray(spins, dtype=np.uint64))
     labels = jnp.asarray(np.asarray(target_labels, dtype=np.int32))
-    # The reference's weighted CE uses RAW weights (None -> ones;
-    # loss = dot(CE, w) per batch — train.py:37-38,73-76), so the per-batch
-    # gradient scale is independent of the dataset size. Normalising w to
-    # sum to 1 over the FULL set (an earlier revision) shrank gradients by
-    # n/batch_size and silently froze training at large n (kagome-36,
-    # n ~ 2e4: 75x weaker steps than the reference). Keep relative weights
-    # but fix the MEAN weight to 1.
+    # Reference semantics (supervised_loop_once / compute_average_loss,
+    # square_4x4.py:77-118, shared by train.py): weights are RE-NORMALISED
+    # PER BATCH (w_b / sum(w_b)), so every step's loss is a weighted MEAN
+    # over the batch and the gradient scale is O(1) regardless of the
+    # dataset size or the weights' global normalisation. Anything else
+    # breaks at scale: normalising over the full set shrinks gradients by
+    # n/batch_size (frozen training at kagome-36's n ~ 2e4), raw ones
+    # inflate them by batch_size (divergence to a constant predictor at
+    # the reference's lr). Only the RELATIVE weights matter here.
     if weights is None:
         w = np.ones(n)
     else:
         w = np.asarray(weights, dtype=np.float64)
-        w = w * (n / w.sum())
     w = jnp.asarray(w, dtype=jnp.float32)
-    # loss values are reported/thresholded per unit weight so that
-    # early_stop_loss keeps its mean-CE meaning
-    total_w = float(n)
 
     num_batches = max(n // batch_size, 1)
     apply_fn, tx = state.apply_fn, state.tx
@@ -137,7 +135,7 @@ def tune_neural_network(
         def step(carry, idx):
             params, batch_stats, opt_state = carry
             bspins, blabels, bw = spins[idx], labels[idx], w[idx]
-            # per-batch weights follow the reference: sum of weighted CE
+            bw = bw / jnp.sum(bw)  # per-batch renormalisation (see above)
             (loss, (acc, new_stats)), grads = jax.value_and_grad(
                 lambda p: _loss_fn(apply_fn, p, batch_stats, bspins, blabels, bw, True),
                 has_aux=True,
@@ -149,17 +147,21 @@ def tune_neural_network(
         (params, batch_stats, opt_state), losses = jax.lax.scan(
             step, (params, batch_stats, opt_state), perm
         )
-        return params, batch_stats, opt_state, jnp.sum(losses)
+        return params, batch_stats, opt_state, jnp.mean(losses)
+
+    w_eval = w / jnp.sum(w)
 
     @jax.jit
     def eval_all(params, batch_stats):
-        loss, (acc, _) = _loss_fn(apply_fn, params, batch_stats, spins, labels, w, False)
+        loss, (acc, _) = _loss_fn(
+            apply_fn, params, batch_stats, spins, labels, w_eval, False
+        )
         return loss, acc
 
     key = jax.random.PRNGKey(seed)
     loss, acc = eval_all(state.params, state.batch_stats)
     if on_epoch_end is not None:
-        on_epoch_end(0, epochs, float(loss) / total_w, float(acc) / total_w)
+        on_epoch_end(0, epochs, float(loss), float(acc))
 
     # fresh optimiser state per call, like the reference's per-call torch
     # optimizer construction (train.py:88-99) — also what makes the outer
@@ -170,19 +172,18 @@ def tune_neural_network(
         params, batch_stats, opt_state, loss = train_epoch(
             params, batch_stats, opt_state, sub
         )
-        loss = float(loss) / total_w
+        loss = float(loss)
         if loss < early_stop_loss:
             logger.info("Stopping early because loss is low enough...")
             break
         if on_epoch_end is not None and (epoch + 1) % 10 == 0:
             eloss, eacc = eval_all(params, batch_stats)
-            on_epoch_end(epoch + 1, epochs, float(eloss) / total_w,
-                         float(eacc) / total_w)
+            on_epoch_end(epoch + 1, epochs, float(eloss), float(eacc))
 
     state.params, state.batch_stats, state.opt_state = params, batch_stats, opt_state
     loss, acc = eval_all(params, batch_stats)
     if on_epoch_end is not None:
-        on_epoch_end(epochs, epochs, float(loss) / total_w, float(acc) / total_w)
+        on_epoch_end(epochs, epochs, float(loss), float(acc))
     return state
 
 
