@@ -148,7 +148,11 @@ def main(argv=None):
             sa_engine=args.sa_engine,
             metrics_subsample=args.metrics_subsample,
         )
-        find_ground_state(op, psi, state, config)
+        def on_iteration_end(i, _state, metrics):
+            writer.scalars(metrics, i + 1)
+
+        find_ground_state(op, psi, state, config,
+                          on_iteration_end=on_iteration_end)
 
     info = compute_metrics_on_full_space(
         op.basis, psi, state, subsample=args.metrics_subsample
