@@ -61,6 +61,25 @@ class OptimizationResult:
         return "size,greedy_accuracy,greedy_overlap,sa_accuracy,sa_overlap,amplitude_overlap"
 
 
+def count_completed_rows(path: str) -> int:
+    """Count completed data rows for ``--resume``, repairing a truncated
+    trailing line first: a run killed mid-row-write leaves a partial final
+    line (no newline) that must be re-run, not counted as done — counting
+    it would permanently skip that cluster AND leave a corrupt row in the
+    CSV (ADVICE r4)."""
+    with open(path, "r+") as f:
+        content = f.read()
+        if content and not content.endswith("\n"):
+            cut = content.rfind("\n") + 1
+            logger.warning("dropping truncated trailing line in {}", path)
+            f.seek(cut)
+            f.truncate()
+            content = content[:cut]
+    return sum(
+        1 for ln in content.splitlines() if ln.strip() and not ln.startswith("#")
+    )
+
+
 def parse_command_line(argv=None):
     parser = argparse.ArgumentParser(
         description="Sign reconstruction on sampled connected clusters (large systems)."
@@ -173,8 +192,7 @@ def main(argv=None):
         # many items continues a batch exactly where a relay stall / rc=1
         # death left it (the round-3 pyrochlore cells died twice at
         # UNAVAILABLE with 0 rows banked — resume turns that into progress)
-        with open(out_probe) as f:
-            done = sum(1 for ln in f if ln.strip() and not ln.startswith("#"))
+        done = count_completed_rows(out_probe)
         logger.info("resuming: {} clusters already in {}", done, out_probe)
     elif refuse_to_overwrite(args.output):
         return 1

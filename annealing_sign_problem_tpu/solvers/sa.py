@@ -246,9 +246,15 @@ def anneal(
     ``restarts=n`` splits each replica's sweep budget across n independent
     chains of ``number_sweeps // n`` sweeps (independent seeds and random
     starts) and reports, per replica, the chain with the lowest exact
-    energy. Work-conserving (same total attempted flips per replica, and
-    the n chains run as extra device-level replicas — better MXU
-    utilisation, not worse) and strictly better whenever the single-chain
+    energy. Nearly work-conserving on the ANNEALED sweeps (the integer
+    split drops up to n-1 sweeps per replica; the n chains run as extra
+    device-level replicas — better MXU utilisation, not worse), but each
+    chain runs its own ``descent_sweeps`` zero-temperature epilogue, so a
+    restarted point does n*descent_sweeps descent work per replica where
+    a single chain does descent_sweeps. CSV provenance emitted by
+    ``full_hilbert_space`` records the restarts count per row so readers
+    can account for this. Restarting is strictly better whenever the
+    single-chain
     convergence probability has diminishing returns in the sweep count:
     P_restart = 1 - (1 - P(T/n))^n. Measured on kagome-18 (128 chains,
     linear-informative schedule): P(100) = 0.734, P(200) = 0.805,

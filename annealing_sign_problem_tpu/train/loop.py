@@ -59,6 +59,41 @@ class TrainingConfig:
     metrics_subsample: Optional[int] = None
 
 
+def _check_resume_fingerprint(config: "TrainingConfig") -> None:
+    """Resume artifacts (sa_dataset_{i}.h5, model_{i}) are keyed only by
+    path; silently reusing them after the seed / sampling / SA settings
+    changed would mix configs. Write a fingerprint next to the caches on
+    first run and REFUSE to resume on mismatch (ADVICE r4)."""
+    import json
+
+    fp = {
+        "seed": config.seed,
+        "number_sa_sweeps": config.number_sa_sweeps,
+        "number_supervised_epochs": config.number_supervised_epochs,
+        "number_monte_carlo_samples": config.number_monte_carlo_samples,
+        "number_outer_iterations": config.number_outer_iterations,
+        "train_batch_size": config.train_batch_size,
+        "sampled_power": config.sampled_power,
+        "sa_repetitions": config.sa_repetitions,
+        "scale_field": list(config.scale_field) if config.scale_field is not None else None,
+    }
+    path = os.path.join(config.output, "config_fingerprint.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if old != fp:
+            diff = {k: (old.get(k), v) for k, v in fp.items() if old.get(k) != v}
+            raise RuntimeError(
+                f"refusing to resume into {config.output}: cached artifacts "
+                f"were built under a different config (old, new): {diff}. "
+                "Use a fresh output directory or delete the stale caches."
+            )
+        return
+    os.makedirs(config.output, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(fp, f, indent=1)
+
+
 def make_deterministic(seed: Optional[int]) -> np.random.RandomState:
     """Deterministic seeding (the reference's make_deterministic,
     train.py:1206-1213; JAX is deterministic by construction, so only the
@@ -194,10 +229,16 @@ def compute_metrics_on_full_space(
         weights = ground_state.astype(np.float64) ** 2
         weights /= weights.sum()
         ov_idx = rng.choice(n, size=subsample, replace=True, p=weights)
-        overlap = float(np.abs(np.mean(2.0 * agreement(ov_idx) - 1.0)))
+        # |mean(+-1 agreement)|: near zero true overlap the absolute value
+        # of a zero-mean sample average is biased UP by ~(2/pi N)^{1/2}
+        # (half-normal mean), so a "dead network" reads ~4e-4 at N=1e6,
+        # not 0. The SIGNED mean is reported alongside so readers can see
+        # when the estimate is noise-dominated (|signed| ~ 1/sqrt(N)).
+        signed_overlap = float(np.mean(2.0 * agreement(ov_idx) - 1.0))
         return {
             "accuracy": accuracy,
-            "overlap": overlap,
+            "overlap": abs(signed_overlap),
+            "overlap_signed": signed_overlap,
             "metrics_subsample": float(subsample),
         }
     logits = forward_logits(state, basis.states, batch_size)
@@ -231,6 +272,8 @@ def find_ground_state(
     identical host-rng stream (a resumed run and an uninterrupted one
     produce the same result).
     """
+    if config.output is not None:
+        _check_resume_fingerprint(config)
     rng = make_deterministic(config.seed)
     basis = hamiltonian.basis
     amplitudes = np.abs(np.asarray(ground_state))

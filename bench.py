@@ -20,9 +20,45 @@ import numpy as np
 BASELINE_FLIPS_PER_SEC = 1.0e9  # driver-supplied target (BASELINE.json)
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "physical_systems")
 
+# Soft budget for OPTIONAL engine variants (bf16/philox/fat/block512/
+# sparse/slab): once exceeded, remaining variants are skipped so the
+# primary number always lands inside the driver's capture window.
+SOFT_DEADLINE = time.time() + float(os.environ.get("ASP_BENCH_BUDGET_S", "1500"))
+
+# Best-so-far snapshot, updated after every completed stage. A SIGTERM
+# (driver timeout) prints it and exits 0 — a partial capture beats rc=124.
+_snapshot = {}
+_printed = False
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def update_snapshot(value, details):
+    _snapshot.clear()
+    _snapshot.update(
+        {
+            "metric": "attempted spin flips/sec/chip (kagome-16 full basis, R=1024)",
+            "value": value,
+            "unit": "flips/s",
+            "vs_baseline": value / BASELINE_FLIPS_PER_SEC,
+            "details": dict(details),
+        }
+    )
+
+
+def emit_snapshot_and_exit(signum, frame):
+    global _printed
+    if _snapshot and not _printed:
+        _printed = True
+        _snapshot["details"]["partial"] = "driver timeout mid-run; best-so-far"
+        print(json.dumps(_snapshot), flush=True)
+    os._exit(0 if _snapshot else 124)
+
+
+def time_left() -> bool:
+    return time.time() < SOFT_DEADLINE
 
 
 def preempt_experiment_queue():
@@ -79,25 +115,24 @@ def preempt_experiment_queue():
         time.sleep(20)
 
 
-def wait_for_backend(max_wait_s: float = 1800.0):
-    """The relay occasionally answers `UNAVAILABLE: TPU backend
-    setup/compile error` for 15-20 minutes and then self-recovers
-    (round-3 postmortem: one such hiccup at capture time erased the
-    round's headline number). Probe the backend in a SUBPROCESS — JAX
-    caches a failed backend set for the life of the process — and back
-    off until it answers or the budget runs out."""
+def wait_for_backend(max_wait_s: float = 300.0):
+    """Probe the TPU backend in a SUBPROCESS (JAX caches a failed
+    backend set for the life of the process). The total pre-fallback
+    budget is HARD-BOUNDED to ~5 minutes: round 4's driver capture
+    window expired (rc=124) while a 30-minute retry loop was still
+    spinning, so the honest CPU fallback never ran. Two probes of
+    <=120 s each, then give up and let the caller fall back."""
     import subprocess
 
     probe = "import jax; print(jax.devices())"
     deadline = time.time() + max_wait_s
-    delay = 60.0
     attempt = 0
-    while True:
+    while attempt < 2 and time.time() < deadline:
         attempt += 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True, text=True,
-                timeout=max(120.0, min(900.0, deadline - time.time() + 120.0)),
+                timeout=min(120.0, max(10.0, deadline - time.time())),
             )
             rc, out, err = r.returncode, r.stdout, r.stderr
         except subprocess.TimeoutExpired:
@@ -107,13 +142,11 @@ def wait_for_backend(max_wait_s: float = 1800.0):
             return
         tail = (err or "").strip().splitlines()[-1:] or ["?"]
         log(f"backend probe attempt {attempt} failed: {tail[0]}")
-        if time.time() + delay > deadline:
-            log("backend never came back within the retry budget; proceeding "
-                "anyway (the in-process attempt will surface the real error)")
-            return
-        log(f"retrying in {delay:.0f}s")
-        time.sleep(delay)
-        delay = min(2 * delay, 600.0)
+        if attempt < 2:
+            log("retrying in 30s")
+            time.sleep(30)
+    log("backend did not answer within the hard-bounded budget; the "
+        "caller will fall back to the CPU capture")
 
 
 def build_problem():
@@ -160,7 +193,7 @@ def backend_available() -> bool:
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=900,
+            capture_output=True, timeout=120,
         )
         return r.returncode == 0
     except Exception:
@@ -219,6 +252,9 @@ def cpu_fallback_capture() -> None:
 
 
 def main():
+    import signal
+
+    signal.signal(signal.SIGTERM, emit_snapshot_and_exit)
     # BENCH_NO_PREEMPT=1 lets a queue orchestrator invoke the benchmark as
     # one of its own stages without killing its own parent process tree
     if os.environ.get("ASP_BENCH_CPU"):
@@ -271,6 +307,14 @@ def main():
     mfu = mxu_flops / 197e12
     log(f"dense engine MFU estimate: {mfu:.2f} (bf16 matmul roofline)")
 
+    # the primary number is banked NOW: everything below is an optional
+    # engine variant that only improves on it
+    details = {
+        "dense_f32_flips_per_s": best,
+        "dense_mfu_bf16": round(mfu, 3),
+    }
+    update_snapshot(best, details)
+
     # secondary point: the sparse gather engine on the same problem (the
     # huge-cluster fallback path of the sampled_connected_components
     # pipeline; HBM-gather issue-rate-bound)
@@ -279,6 +323,8 @@ def main():
     # descent phase still lands converged replicas on the true optimum)
     f32_rate, bf16_rate = best, float("nan")
     try:
+        if not time_left():
+            raise TimeoutError("soft budget exceeded")
         plan16 = make_dense_plan(h, j_dtype="bfloat16")
         anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan16)
         for trial in range(2):
@@ -298,107 +344,16 @@ def main():
         log(f"bf16 P(acc>0.995) @ {T}: {p_acc16:.3f}")
         if p_acc16 >= 0.95:  # only headline bf16 if quality holds
             best = max(best, bf16_rate)
+        details["dense_bf16_flips_per_s"] = bf16_rate
+        update_snapshot(best, details)
     except Exception as e:
         log(f"bf16 bench skipped: {e!r}")
 
-    # philox acceptance stream (XLA RngBitGenerator) on the bf16 plan:
-    # drops the per-block threefry fold_in+uniform (~10% of the sweep)
-    philox_rate = float("nan")
-    try:
-        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan16,
-               rng_impl="philox")
-        for trial in range(2):
-            rp = anneal(h, seed=9 + trial, number_sweeps=T, repetitions=R,
-                        plan=plan16, only_best=False, rng_impl="philox")
-            log(f"bf16+philox trial {trial}: {rp.elapsed:.2f}s -> "
-                f"{rp.flips_per_second:.4g} flips/s")
-            if not (philox_rate > rp.flips_per_second):
-                philox_rate, resp = rp.flips_per_second, rp
-        accsp = np.array(
-            [
-                compute_accuracy_and_overlap(resp.bits_all[r], exact, psi**2)[0]
-                for r in range(R)
-            ]
-        )
-        p_accp = float(np.mean(accsp > 0.995))
-        log(f"bf16+philox P(acc>0.995) @ {T}: {p_accp:.3f}")
-        if p_accp >= 0.95:
-            best = max(best, philox_rate)
-    except Exception as e:
-        log(f"philox bench skipped: {e!r}")
-
-    # color-class ("fat") engine: kagome-16 colors into 9 classes, so a
-    # sweep is 9 class-sized matmuls instead of 55 uniform 256-row block
-    # steps — 6x fewer step overheads AND ~5% less padding (per-class
-    # 128-row alignment beats per-256-block padding)
-    fat_rate = float("nan")
-    try:
-        from annealing_sign_problem_tpu.ops.sweeps_fat import make_fat_plan
-
-        fplan = make_fat_plan(h, j_dtype="bfloat16")
-        log(f"fat plan: {fplan.num_colors} classes, Kp = {fplan.padded_size}")
-        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=fplan)
-        for trial in range(2):
-            rf = anneal(h, seed=13 + trial, number_sweeps=T, repetitions=R,
-                        plan=fplan, only_best=False)
-            log(f"fat bf16 trial {trial}: {rf.elapsed:.2f}s -> "
-                f"{rf.flips_per_second:.4g} flips/s")
-            if not (fat_rate > rf.flips_per_second):
-                fat_rate, resf = rf.flips_per_second, rf
-        accsf = np.array(
-            [
-                compute_accuracy_and_overlap(resf.bits_all[r], exact, psi**2)[0]
-                for r in range(R)
-            ]
-        )
-        p_accf = float(np.mean(accsf > 0.995))
-        log(f"fat bf16 P(acc>0.995) @ {T}: {p_accf:.3f}")
-        if p_accf >= 0.95:
-            best = max(best, fat_rate)
-    except Exception as e:
-        log(f"fat bench skipped: {e!r}")
-
-    # block-512 layout on the bf16+philox configuration: half the scan
-    # steps per sweep, double the matmul height — pays more class padding,
-    # so measure rather than assume (plan layout change only; the kernel
-    # is identical)
-    b512_rate = float("nan")
-    try:
-        plan512 = make_dense_plan(h, block_size=512, j_dtype="bfloat16")
-        NB5, M5, Kp5 = plan512.J.shape
-        log(f"block-512 plan: {NB5}x{M5}, Kp = {Kp5}")
-        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan512,
-               rng_impl="philox")
-        for trial in range(2):
-            rb = anneal(h, seed=11 + trial, number_sweeps=T, repetitions=R,
-                        plan=plan512, only_best=False, rng_impl="philox")
-            log(f"bf16+philox block-512 trial {trial}: {rb.elapsed:.2f}s -> "
-                f"{rb.flips_per_second:.4g} flips/s")
-            if not (b512_rate > rb.flips_per_second):
-                b512_rate, resb = rb.flips_per_second, rb
-        accsb = np.array(
-            [
-                compute_accuracy_and_overlap(resb.bits_all[r], exact, psi**2)[0]
-                for r in range(R)
-            ]
-        )
-        p_accb = float(np.mean(accsb > 0.995))
-        log(f"bf16+philox block-512 P(acc>0.995) @ {T}: {p_accb:.3f}")
-        if p_accb >= 0.95:
-            best = max(best, b512_rate)
-    except Exception as e:
-        log(f"block-512 bench skipped: {e!r}")
-
-    sparse_plan = make_color_plan(h)
-    anneal(h, seed=2, number_sweeps=400, repetitions=R, plan=sparse_plan)
-    rs = anneal(h, seed=5, number_sweeps=400, repetitions=R, plan=sparse_plan, only_best=False)
-    log(f"sparse engine: {rs.flips_per_second:.4g} flips/s")
-
-    # medium-K point: the multi-slab resident MXU engine at the kagome-36
-    # order-2 cluster scale (K ~ 3.3e4 — the flagship workload's shape,
-    # above the single-buffer dense cap). Synthetic couplings with the
-    # cluster-like degree; the engine's rate depends on shapes, not values.
-    slab_rates = {}
+    # medium-K point, run EARLY (a round-5 deliverable): the multi-slab
+    # resident MXU engine at the kagome-36 order-2 cluster scale
+    # (K ~ 3.3e4 — the flagship workload's shape, above the single-buffer
+    # dense cap). Synthetic couplings with the cluster-like degree; the
+    # engine's rate depends on shapes, not values.
     try:
         import scipy.sparse
 
@@ -421,11 +376,126 @@ def main():
                    descent_sweeps=0)
             rslab = anneal(hs, seed=6, number_sweeps=96, repetitions=R,
                            plan=splan, only_best=False, descent_sweeps=0)
-            slab_rates[Ks] = rslab.flips_per_second
-            log(f"slab engine (K={Ks}, bf16): {slab_rates[Ks]:.4g} flips/s")
+            log(f"slab engine (K={Ks}, bf16): {rslab.flips_per_second:.4g} flips/s")
+            details[f"slab_engine_flips_per_s_K{Ks}"] = rslab.flips_per_second
+            update_snapshot(best, details)
     except Exception as e:  # keep the headline metric robust
         log(f"slab bench skipped: {e!r}")
-    slab_rate = slab_rates.get(33_000, float("nan"))
+
+    # philox acceptance stream (XLA RngBitGenerator) on the bf16 plan:
+    # drops the per-block threefry fold_in+uniform (~10% of the sweep)
+    philox_rate = float("nan")
+    try:
+        if not time_left():
+            raise TimeoutError("soft budget exceeded")
+        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan16,
+               rng_impl="philox")
+        for trial in range(2):
+            rp = anneal(h, seed=9 + trial, number_sweeps=T, repetitions=R,
+                        plan=plan16, only_best=False, rng_impl="philox")
+            log(f"bf16+philox trial {trial}: {rp.elapsed:.2f}s -> "
+                f"{rp.flips_per_second:.4g} flips/s")
+            if not (philox_rate > rp.flips_per_second):
+                philox_rate, resp = rp.flips_per_second, rp
+        accsp = np.array(
+            [
+                compute_accuracy_and_overlap(resp.bits_all[r], exact, psi**2)[0]
+                for r in range(R)
+            ]
+        )
+        p_accp = float(np.mean(accsp > 0.995))
+        log(f"bf16+philox P(acc>0.995) @ {T}: {p_accp:.3f}")
+        if p_accp >= 0.95:
+            best = max(best, philox_rate)
+        details["dense_bf16_philox_flips_per_s"] = philox_rate
+        update_snapshot(best, details)
+    except Exception as e:
+        log(f"philox bench skipped: {e!r}")
+
+    # color-class ("fat") engine: kagome-16 colors into 9 classes, so a
+    # sweep is 9 class-sized matmuls instead of 55 uniform 256-row block
+    # steps — 6x fewer step overheads AND ~5% less padding (per-class
+    # 128-row alignment beats per-256-block padding)
+    fat_rate = float("nan")
+    try:
+        if not time_left():
+            raise TimeoutError("soft budget exceeded")
+        from annealing_sign_problem_tpu.ops.sweeps_fat import make_fat_plan
+
+        fplan = make_fat_plan(h, j_dtype="bfloat16")
+        log(f"fat plan: {fplan.num_colors} classes, Kp = {fplan.padded_size}")
+        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=fplan)
+        for trial in range(2):
+            rf = anneal(h, seed=13 + trial, number_sweeps=T, repetitions=R,
+                        plan=fplan, only_best=False)
+            log(f"fat bf16 trial {trial}: {rf.elapsed:.2f}s -> "
+                f"{rf.flips_per_second:.4g} flips/s")
+            if not (fat_rate > rf.flips_per_second):
+                fat_rate, resf = rf.flips_per_second, rf
+        accsf = np.array(
+            [
+                compute_accuracy_and_overlap(resf.bits_all[r], exact, psi**2)[0]
+                for r in range(R)
+            ]
+        )
+        p_accf = float(np.mean(accsf > 0.995))
+        log(f"fat bf16 P(acc>0.995) @ {T}: {p_accf:.3f}")
+        if p_accf >= 0.95:
+            best = max(best, fat_rate)
+        details["fat_bf16_flips_per_s"] = fat_rate
+        update_snapshot(best, details)
+    except Exception as e:
+        log(f"fat bench skipped: {e!r}")
+
+    # block-512 layout on the bf16+philox configuration: half the scan
+    # steps per sweep, double the matmul height — pays more class padding,
+    # so measure rather than assume (plan layout change only; the kernel
+    # is identical)
+    b512_rate = float("nan")
+    try:
+        if not time_left():
+            raise TimeoutError("soft budget exceeded")
+        plan512 = make_dense_plan(h, block_size=512, j_dtype="bfloat16")
+        NB5, M5, Kp5 = plan512.J.shape
+        log(f"block-512 plan: {NB5}x{M5}, Kp = {Kp5}")
+        anneal(h, seed=2, number_sweeps=T, repetitions=R, plan=plan512,
+               rng_impl="philox")
+        for trial in range(2):
+            rb = anneal(h, seed=11 + trial, number_sweeps=T, repetitions=R,
+                        plan=plan512, only_best=False, rng_impl="philox")
+            log(f"bf16+philox block-512 trial {trial}: {rb.elapsed:.2f}s -> "
+                f"{rb.flips_per_second:.4g} flips/s")
+            if not (b512_rate > rb.flips_per_second):
+                b512_rate, resb = rb.flips_per_second, rb
+        accsb = np.array(
+            [
+                compute_accuracy_and_overlap(resb.bits_all[r], exact, psi**2)[0]
+                for r in range(R)
+            ]
+        )
+        p_accb = float(np.mean(accsb > 0.995))
+        log(f"bf16+philox block-512 P(acc>0.995) @ {T}: {p_accb:.3f}")
+        if p_accb >= 0.95:
+            best = max(best, b512_rate)
+        details["dense_bf16_philox_block512_flips_per_s"] = b512_rate
+        update_snapshot(best, details)
+    except Exception as e:
+        log(f"block-512 bench skipped: {e!r}")
+
+    sparse_rate = float("nan")
+    try:
+        if not time_left():
+            raise TimeoutError("soft budget exceeded")
+        sparse_plan = make_color_plan(h)
+        anneal(h, seed=2, number_sweeps=400, repetitions=R, plan=sparse_plan)
+        rs = anneal(h, seed=5, number_sweeps=400, repetitions=R,
+                    plan=sparse_plan, only_best=False)
+        sparse_rate = rs.flips_per_second
+        log(f"sparse engine: {sparse_rate:.4g} flips/s")
+        details["sparse_engine_flips_per_s"] = sparse_rate
+        update_snapshot(best, details)
+    except Exception as e:
+        log(f"sparse bench skipped: {e!r}")
 
     # quality check on the first timed run (reference curve point: the
     # `make small` schedule gives P(acc>0.995) = 0.842 at 6400 sweeps,
@@ -439,29 +509,13 @@ def main():
     p_acc = float(np.mean(accs > 0.995))
     log(f"P(acc>0.995) @ {T} sweeps: {p_acc:.3f} (reference: 0.842)")
 
-    print(
-        json.dumps(
-            {
-                "metric": "attempted spin flips/sec/chip (kagome-16 full basis, R=1024)",
-                "value": best,
-                "unit": "flips/s",
-                "vs_baseline": best / BASELINE_FLIPS_PER_SEC,
-                "details": {
-                    "dense_f32_flips_per_s": f32_rate,
-                    "dense_bf16_flips_per_s": bf16_rate,
-                    "dense_bf16_philox_flips_per_s": philox_rate,
-                    "dense_bf16_philox_block512_flips_per_s": b512_rate,
-                    "fat_bf16_flips_per_s": fat_rate,
-                    "dense_mfu_bf16": round(mfu, 3),
-                    "sparse_engine_flips_per_s": rs.flips_per_second,
-                    "slab_engine_flips_per_s_K33000": slab_rate,
-                    "slab_engine_flips_per_s_K48620": slab_rates.get(48_620, float("nan")),
-                    "p_acc_gt_0995_at_6400_sweeps": p_acc,
-                    "reference_p_acc": 0.842,
-                },
-            }
-        )
-    )
+    details["p_acc_gt_0995_at_6400_sweeps"] = p_acc
+    details["reference_p_acc"] = 0.842
+    update_snapshot(best, details)
+    global _printed
+    if not _printed:
+        _printed = True
+        print(json.dumps(_snapshot))
 
 
 if __name__ == "__main__":

@@ -30,13 +30,58 @@ def load(path):
     return {int(r[0]): r for r in tab}
 
 
+def load_provenance(path):
+    """Per-row provenance comments written by full_hilbert_space
+    (`# sweeps=N repetitions=R trials=T ... restarts=n ...`)."""
+    prov = {}
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith("# sweeps="):
+                d = dict(kv.split("=", 1) for kv in ln[2:].split() if "=" in kv)
+                prov[int(d["sweeps"])] = d
+    return prov
+
+
+def protocol_note(prov):
+    """A disclosure line whenever a curve's actual protocol deviates from
+    the headline 1024-replica / 10-trial single-chain setup (ADVICE r4:
+    the kagome-18 CPU rows are 128x2 with restarts 2-8 — best-of-n
+    chains — and the blanket header overstated them)."""
+    if not prov:
+        return None
+    stats = sorted({(d.get("repetitions", "?"), d.get("trials", "?")) for d in prov.values()})
+    restarts = sorted({int(d.get("restarts", 1)) for d in prov.values()})
+    deviates = stats != [("1024", "10")] or restarts != [1]
+    if not deviates:
+        return None
+    parts = []
+    parts.append(
+        "actual statistics: "
+        + ", ".join(f"{r} replicas x {t} trials" for r, t in stats)
+    )
+    if restarts != [1]:
+        lo, hi = restarts[0], restarts[-1]
+        rng = f"{lo}" if lo == hi else f"{lo}-{hi}"
+        parts.append(
+            f"restart splitting `--restarts auto` in effect (n = {rng}: each "
+            "replica's sweep budget is split across n independent chains and "
+            "the lowest-energy chain reported — same annealed-flip budget "
+            "per replica, but n zero-T descent epilogues instead of 1; the "
+            "reference column is single-chain)"
+        )
+    return "_Protocol for this curve: " + "; ".join(parts) + "._"
+
+
 def main():
     out = [
         "# Small-system convergence: ours vs reference (`make small`, Figure 2)",
         "",
-        "Both sides: 1024 annealing replicas per trial, 10 trials, random",
-        "replica initialisation (the reference's `sa.anneal` call passes no",
-        "x0, common.py:242-248; our driver default is `--x0 random`).",
+        "Default protocol on both sides: 1024 annealing replicas per trial,",
+        "10 trials, random replica initialisation (the reference's",
+        "`sa.anneal` call passes no x0, common.py:242-248; our driver",
+        "default is `--x0 random`). Curves that deviate (fewer",
+        "replicas/trials, restart splitting) carry an explicit protocol",
+        "note under their heading.",
         "P(x) = fraction of replicas with accuracy/overlap > 0.995 or",
         "relative residual energy <= 1e-12. delta = ours - reference.",
         "",
@@ -59,6 +104,10 @@ def main():
         single_trial = all(v[2] == 0.0 for v in ours.values())
         out.append(f"## {s}")
         out.append("")
+        note = protocol_note(load_provenance(ours_path))
+        if note:
+            out.append(note)
+            out.append("")
         if cpu_fallback:
             out.append(
                 "_CPU-fallback curve (`" + os.path.basename(ours_path) +

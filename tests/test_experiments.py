@@ -212,3 +212,40 @@ def test_sampled_connected_components_resume(ring_yaml, tmp_path):
         common + ["--output", part, "--number-samples", "4"]
     )
     assert rc == 1
+
+
+def test_count_completed_rows_repairs_truncated_line(tmp_path):
+    """A run killed mid-row-write leaves a partial trailing line; resume
+    must drop it (so the cluster re-runs) rather than count it done."""
+    from annealing_sign_problem_tpu.experiments.sampled_connected_components import (
+        count_completed_rows,
+    )
+
+    p = tmp_path / "cell.csv"
+    p.write_text("# provenance\n1,2,3\n4,5,6\n7,8")  # no trailing newline
+    assert count_completed_rows(str(p)) == 2
+    assert p.read_text() == "# provenance\n1,2,3\n4,5,6\n"  # repaired
+    # intact files are untouched
+    p2 = tmp_path / "ok.csv"
+    p2.write_text("# h\n1,2,3\n")
+    assert count_completed_rows(str(p2)) == 1
+    assert p2.read_text() == "# h\n1,2,3\n"
+
+
+def test_train_resume_fingerprint(tmp_path):
+    """Resuming into an output dir whose caches were built under a
+    different config must be refused (ADVICE r4)."""
+    import pytest as _pytest
+
+    from annealing_sign_problem_tpu.train.loop import (
+        TrainingConfig,
+        _check_resume_fingerprint,
+    )
+
+    cfg = TrainingConfig(output=str(tmp_path / "run"), seed=7,
+                         number_sa_sweeps=100)
+    _check_resume_fingerprint(cfg)          # first run: writes fingerprint
+    _check_resume_fingerprint(cfg)          # same config: resume allowed
+    bad = TrainingConfig(output=cfg.output, seed=8, number_sa_sweeps=100)
+    with _pytest.raises(RuntimeError, match="refusing to resume"):
+        _check_resume_fingerprint(bad)

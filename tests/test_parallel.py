@@ -135,3 +135,53 @@ def test_distribute_clusters_partition():
     a = distribute_clusters(10, 3, 4, 1)[0][1].randint(1 << 30)
     b = distribute_clusters(10, 3, 4, 1)[0][1].randint(1 << 30)
     assert a == b
+
+
+def test_anneal_sharded_dense_matches_quality():
+    """The dense-MXU mesh path (previously covered only by the driver
+    dryrun): quality and exact-energy consistency on the 8-device mesh,
+    plus agreement with the sparse mesh path on the same chains' problem."""
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
+    from annealing_sign_problem_tpu.parallel import anneal_sharded_dense
+
+    h = random_ising(64, 6, seed=2)
+    plan = make_dense_plan(h, block_size=32)
+    b0, b1 = estimate_betas(h)
+    T = 200
+    betas = b0 * (b1 / b0) ** (np.arange(T) / (T - 1))
+    rng = np.random.RandomState(1)
+    R = 16
+    x0 = 2.0 * rng.randint(0, 2, size=(R, 64)) - 1.0
+    mesh = make_mesh()
+    bestS, bestE = anneal_sharded_dense(plan, x0, betas, seed=5, mesh=mesh)
+    assert bestS.shape == (R, 64)
+    exact = h.energies(bestS)
+    np.testing.assert_allclose(exact, bestE, atol=1e-3)
+    assert bestE.min() < 0
+
+    # same problem through the sparse mesh engine: the two engines share
+    # sweep semantics, so their best-replica energies land in the same
+    # basin (identical optima are not guaranteed chain-by-chain)
+    sparse_plan = make_color_plan(h, block_size=32)
+    _, bestE_sparse = anneal_sharded(sparse_plan, x0, betas, seed=5, mesh=mesh)
+    assert abs(bestE.min() - bestE_sparse.min()) / abs(bestE_sparse.min()) < 0.05
+
+
+def test_anneal_sharded_dense_mesh_size_invariance():
+    """Identical seeds on 1-device and 8-device meshes produce identical
+    trajectories: the sharding is layout-only."""
+    from annealing_sign_problem_tpu.ops.sweeps_dense import make_dense_plan
+    from annealing_sign_problem_tpu.parallel import anneal_sharded_dense
+
+    h = random_ising(48, 4, seed=3)
+    plan = make_dense_plan(h, block_size=16)
+    b0, b1 = estimate_betas(h)
+    T = 64
+    betas = b0 * (b1 / b0) ** (np.arange(T) / (T - 1))
+    rng = np.random.RandomState(2)
+    R = 8
+    x0 = 2.0 * rng.randint(0, 2, size=(R, 48)) - 1.0
+    S8, E8 = anneal_sharded_dense(plan, x0, betas, seed=11, mesh=make_mesh(8))
+    S1, E1 = anneal_sharded_dense(plan, x0, betas, seed=11, mesh=make_mesh(1))
+    np.testing.assert_array_equal(S8, S1)
+    np.testing.assert_allclose(E8, E1, rtol=1e-6)
