@@ -67,8 +67,21 @@ def analyze_influence_of_noise(argv=None):
     parser.add_argument("--max-noise", type=float, default=1e2)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--repetitions", type=int, default=10)
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted sweep: completed rows are counted and "
+        "their noise draws replayed, so a resumed run emits the identical "
+        "remaining rows (the reference target is 1000 steps x 100 reps — "
+        "hours on one host core)",
+    )
     args = parser.parse_args(argv)
-    if refuse_to_overwrite(args.output):
+    done = 0
+    if args.resume and os.path.exists(args.output):
+        from .sampled_connected_components import count_completed_rows
+
+        done = count_completed_rows(args.output)
+        logger.info("resuming: {} rows already in {}", done, args.output)
+    elif refuse_to_overwrite(args.output):
         return 1
 
     rng = np.random.RandomState(args.seed)
@@ -79,11 +92,21 @@ def analyze_influence_of_noise(argv=None):
         np.linspace(np.log(args.min_noise), np.log(args.max_noise), args.steps)
     )
     os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".", exist_ok=True)
+    k = 0
     for i, eps in enumerate(noise_levels):
+        if k + args.repetitions <= done:
+            # whole step already banked: replay its rng draws only
+            for _ in range(args.repetitions):
+                add_noise_to_amplitudes(psi, eps=eps, rng=rng)
+            k += args.repetitions
+            continue
         logger.info("[{}/{}] Testing with eps = {} ...", i + 1, args.steps, eps)
         with open(args.output, "a") as f:
             for _ in range(args.repetitions):
                 noisy = add_noise_to_amplitudes(psi, eps=eps, rng=rng)
+                k += 1
+                if k <= done:
+                    continue
                 noisy_log_fn = ground_state_to_log_coeff_fn(noisy, op.basis)
                 amp_overlap = float(np.dot(np.abs(noisy), np.abs(psi)))
                 model = make_ising_model(op.basis.states, op, log_psi_fn=noisy_log_fn)
