@@ -22,8 +22,8 @@ note "queue r5 started (pid $$)"
 
 # no NEW stage after END_TS; nothing may run past HARD_END (the driver's
 # bench capture lands after the session; the TPU must be quiet by then)
-END_TS=$(date -d '2026-08-19 00:45' +%s)
-HARD_END=$(date -d '2026-08-19 01:15' +%s)
+END_TS=$(date -d '2026-08-19 07:45' +%s)
+HARD_END=$(date -d '2026-08-19 08:15' +%s)
 
 probe_backend() {
   until timeout 240 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
