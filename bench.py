@@ -361,6 +361,11 @@ def main():
         from annealing_sign_problem_tpu.ops.sweeps_slab import make_slab_plan
 
         for Ks, Ds in ((33_000, 48), (48_620, 48)):
+            if not time_left():
+                # round-5 postmortem: the K=48620 slab compile started
+                # past the soft budget and hung the capture into the
+                # stage timeout — gate every K, not just the stage
+                raise TimeoutError("soft budget exceeded")
             rng = np.random.RandomState(0)
             rows = np.repeat(np.arange(Ks), Ds // 2)
             cols = rng.randint(0, Ks, size=rows.size)
