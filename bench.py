@@ -377,9 +377,12 @@ def main():
             hs = IsingHamiltonian((0.5 * (m + m.T)).tocsr(), np.zeros(Ks))
             splan = make_slab_plan(hs, j_dtype="bfloat16")
             log(f"slab plan (K={Ks}): {splan.num_slabs} slabs, Kp = {splan.padded_size}")
+            # 96 timed sweeps was dispatch-overhead-dominated (r5 capture:
+            # 3.4e7 flips/s vs ~1e9 amortised on real curve workloads);
+            # time enough sweeps that the per-run fixed cost washes out
             anneal(hs, seed=2, number_sweeps=24, repetitions=R, plan=splan,
                    descent_sweeps=0)
-            rslab = anneal(hs, seed=6, number_sweeps=96, repetitions=R,
+            rslab = anneal(hs, seed=6, number_sweeps=768, repetitions=R,
                            plan=splan, only_best=False, descent_sweeps=0)
             log(f"slab engine (K={Ks}, bf16): {rslab.flips_per_second:.4g} flips/s")
             details[f"slab_engine_flips_per_s_K{Ks}"] = rslab.flips_per_second
