@@ -54,19 +54,26 @@ stage() { # name timeout cmd...
   return 1
 }
 
+# fused trials stay ON for the 16-spin systems (12870-state programs,
+# where fusing amortises dispatch overhead) but k18 runs UNFUSED with
+# single-chain replicas: at K=48620 the fused R=10240 slab program spent
+# 50+ min in trace/compile without landing a row, and restarts=1 makes
+# the flagship curve protocol-identical to the reference (1024 replicas
+# x 10 trials, single chain) — the restart-splitting study stays a
+# separate committed result rather than a headline-curve deviation.
 CURVE="python -m annealing_sign_problem_tpu.experiments.full_hilbert_space --seed 435834 --fused-trials --bf16 --resume"
-K18="$CURVE --system heisenberg_kagome_18 --output experiments/heisenberg_kagome_18.csv --pin-noise-floor --restarts auto"
+K18="python -m annealing_sign_problem_tpu.experiments.full_hilbert_space --seed 435834 --bf16 --resume --system heisenberg_kagome_18 --output experiments/heisenberg_kagome_18.csv --pin-noise-floor --restarts 1"
 # A = remaining 1024-replica rows; B = the 102400/204800 deep rows
 A="--repetitions 1024 --trials 4"
 B="--number-sweeps 102400,204800 --repetitions 256 --trials 4"
 
-# if k18_head died early (timeout/relay), give it one bounded resume
-K18_ROWS=$(grep -vc '^#' experiments/heisenberg_kagome_18.csv 2>/dev/null || echo 0)
-if [ "$K18_ROWS" -lt 6 ]; then
-  stage k18_head2 5400 $K18 \
-    --number-sweeps 100,200,400,800,1600,3200,6400,12800 \
-    --repetitions 1024 --trials 10
-fi
+# flagship curve at full replica statistics (1024 x 4, single chain,
+# unfused: one compile per point, ten-ish minutes each on the relay;
+# the 12800+ rows ride a later tail stage so the sk cells aren't
+# starved if the slab engine runs slower than projected)
+stage k18_head2 10800 $K18 \
+  --number-sweeps 100,200,400,800,1600,3200,6400 \
+  --repetitions 1024 --trials 4
 
 # --- the decisive cells: sk_16_1 / sk_16_2 full schedule -----------------
 stage sk1_a 5400 $CURVE --system sk_16_1 --output experiments/sk_16_1.csv \
@@ -90,8 +97,8 @@ stage k16_b 5400 $CURVE --system heisenberg_kagome_16 \
 stage j1j2_b 5400 $CURVE --system j1j2_square_4x4 \
   --output experiments/j1j2_square_4x4.csv $B
 
-# --- kagome-18 tails (slab engine; only if the window allows) ------------
-stage k18_tail 5400 $K18 --number-sweeps 25600,51200 --repetitions 1024 --trials 2
+# --- kagome-18 tail (slab engine; only if the window allows) -------------
+stage k18_tail 7200 $K18 --number-sweeps 12800,25600 --repetitions 1024 --trials 2
 
 # --- sk_32_1 sector ED: bounded window (checkpointed restarts) -----------
 stage sk32_ed 7200 python scripts/sk32_ed.py
