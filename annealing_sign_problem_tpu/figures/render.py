@@ -216,8 +216,12 @@ def render_noise_sweep(root_or_csv: str, output: str) -> str:
         table = process_noisy_results(root_or_csv)
         amp, p25, p50, p75 = table[:, 5], table[:, 2], table[:, 3], table[:, 4]
     else:
-        tab = np.loadtxt(root_or_csv, delimiter=",", ndmin=2)
+        with open(root_or_csv) as f:
+            skip = 1 if f.readline().lstrip().startswith("amplitude") else 0
+        tab = np.loadtxt(root_or_csv, delimiter=",", ndmin=2, skiprows=skip)
         amp, p50, p75, p25 = tab[:, 0], tab[:, 1], tab[:, 2], tab[:, 3]
+        keep = np.isfinite(p50)
+        amp, p50, p75, p25 = amp[keep], p50[keep], p75[keep], p25[keep]
     order = np.argsort(amp)
     amp, p25, p50, p75 = amp[order], p25[order], p50[order], p75[order]
     fig, ax = _new_axes("Amplitude overlap", "Sign overlap")
