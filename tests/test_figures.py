@@ -114,3 +114,19 @@ def test_render_noise_and_analysis(tmp_path):
     main(["frustration", str(tmp_path / "frust.csv"),
           "--output", str(tmp_path / "f.png")])
     assert (tmp_path / "f.png").exists()
+
+
+def test_render_noise_stats_csv_with_header_and_nans(tmp_path):
+    # postprocess_influence_of_noise emits a header line and NaN rows for
+    # empty amplitude-overlap bins; the Figure-4 renderer must accept both
+    from annealing_sign_problem_tpu.figures.render import main
+
+    stats = tmp_path / "noise_stats.csv"
+    with open(stats, "w") as f:
+        f.write("amplitude_overlap,median,upper,lower\n")
+        f.write("0.005,nan,nan,nan\n")
+        f.write("0.5,0.6,0.7,0.5\n")
+        f.write("0.9,0.95,0.99,0.9\n")
+    out = tmp_path / "noise_stats.png"
+    main(["noise", str(stats), "--output", str(out)])
+    assert out.exists() and out.stat().st_size > 5000
