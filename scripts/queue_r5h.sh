@@ -1,18 +1,19 @@
 #!/bin/bash
-# Round-5 queue, phase H — reordered so every remaining VERDICT item gets
-# a TPU window before the 12:00 deadline. Phase G would have retried the
-# kagome-18 restart-split stage for a second 80-minute attempt and then
-# reached k36_train with nothing left for sa_o2 / sk_32; instead:
-#   1. k36_train  — reference-config kagome-36 self-training (VERDICT 4)
-#   2. sa_o2      — order-2 SA cluster cell on the slab engine (VERDICT 5)
-#   3. sk32_demo  — bounded, checkpoint-resumable sector-ED restarts at
-#                   601M states (VERDICT missing-#1; full convergence
-#                   projects 13-20 h, so the deliverable is committed
-#                   checkpoints + the measured per-matvec rate)
-#   4. k18_tail   — where the single-chain curve reaches 1.0
-#   5. sk3_b      — sk_16_3 headline points
-# The in-flight k18_restarts stage (phase G, pid $1) is left to finish
-# its window; we take over afterwards. All stages --resume.
+# Round-5 queue, phase H (v2) — remaining stages in the judge's own
+# priority order (VERDICT "What's missing" / "Next round"):
+#   1. sk32_demo  — sk_32_1 sector ED in a dedicated window (missing #1).
+#                   Full convergence projects 13-20 h, so the stage is
+#                   SELF-BOUNDED: inner timeout 4500 s, rc=124 treated as
+#                   success — per-restart checkpoints under .cache/ are
+#                   the deliverable (plus the measured 601M-state matvec
+#                   rate); no misleading unconverged .h5 is written.
+#   2. k36_train  — reference-config kagome-36 self-training (next-round #4)
+#   3. sa_o2      — order-2 SA cluster cell on the slab engine (#5)
+#   4. k18_tail   — kagome-18 single-chain tail: reaches 1.0 at 1/8 the
+#                   reference's sweeps (curve-tails item #3)
+#   5. nqs_pyro   — pyrochlore-32 amplitude pretrain at 10x steps (#8)
+#   6. sk3_b      — sk_16_3 204800 confirmation rows (already 1.0 at 25600)
+# The in-flight k18_restarts stage (phase G, pid $1) finishes first.
 cd /root/repo || exit 1
 export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 echo $$ > /tmp/queue_r5d.pid
@@ -59,30 +60,36 @@ CURVE="python -m annealing_sign_problem_tpu.experiments.full_hilbert_space --see
 K18BASE="python -m annealing_sign_problem_tpu.experiments.full_hilbert_space --seed 435834 --bf16 --resume --system heisenberg_kagome_18 --pin-noise-floor"
 B="--number-sweeps 102400,204800 --repetitions 256 --trials 4"
 
-# kagome-36 NN self-training at the reference config
+# 1. bounded sk_32_1 sector-ED window (checkpoint accumulates restarts)
+stage sk32_demo 5100 bash -c \
+  'timeout 4500 python scripts/sk32_ed.py 4 40; rc=$?; [ $rc -eq 124 ] && exit 0; exit $rc'
+
+# 2. kagome-36 NN self-training at the reference config
 stage k36_train 7200 python -m annealing_sign_problem_tpu.experiments.kagome_train \
   --system heisenberg_kagome_36 --mode annealing --number-samples 100000 \
   --model dense --learning-rate 2e-2 --momentum 0.8 --batch-size 128 \
   --metrics-subsample 1000000 --number-outer-iterations 2 --seed 540041 \
   --output experiments/kagome_train_r5
 
-# order-2 SA cluster cell on the slab engine (design workload)
+# 3. order-2 SA cluster cell on the slab engine (design workload)
 stage sa_o2 3600 python -m annealing_sign_problem_tpu.experiments.sampled_connected_components \
   --system heisenberg_kagome_36 --order 2 --seed 995060 --noise 0 \
   --global-cutoff 1e-06 --number-sweeps 5000 --repetitions 64 \
   --output experiments/kagome/noise_0/cutoff_1e-06/kagome_sa_o2.csv.r5tpu \
   --number-samples 8 --resume
 
-# bounded sk_32_1 sector-ED restarts (checkpoint-resumable; each restart
-# is ~8 matvecs so even a 30-minute tail window persists progress)
-stage sk32_demo 5400 python scripts/sk32_ed.py 4 40
-
-# kagome-18 single-chain tail: where does the curve reach 1.0?
+# 4. kagome-18 single-chain tail: where does the curve reach 1.0?
 stage k18_tail 5400 $K18BASE --restarts 1 \
   --output experiments/heisenberg_kagome_18.csv \
   --number-sweeps 12800,25600 --repetitions 1024 --trials 2
 
-# sk_16_3 headline points
+# 5. pyrochlore-32 amplitude pretrain at 10x steps (VERDICT missing #5)
+stage nqs_pyro 7200 python -m annealing_sign_problem_tpu.experiments.nqs_baseline \
+  --system heisenberg_pyrochlore_2x2x2 --amplitude-source network \
+  --model cnn --symmetrize --mode sa --number-samples 96 \
+  --pretrain-steps 20000 --seed 540050
+
+# 6. sk_16_3 headline confirmation rows
 stage sk3_b 3600 $CURVE --system sk_16_3 --output experiments/sk_16_3.csv $B
 
 note "queue r5h complete"
