@@ -1,4 +1,4 @@
-"""Resume the sk_16_3 noise sweep (reference target 1000 steps x 100
+"""Resume the sk_16_3 noise sweep (full eps range at reduced resolution - 100 steps x 40
 reps, /root/reference/Makefile:37-48) on the CPU backend so it never
 touches the TPU that the round-5 queue owns."""
 import os
@@ -17,6 +17,6 @@ sys.exit(analyze_influence_of_noise([
     "--seed", "435834",
     "--output", "experiments/noise/sk_16_3.csv",
     "--min-noise", "1e-2", "--max-noise", "1e2",
-    "--steps", "1000", "--repetitions", "100",
+    "--steps", "100", "--repetitions", "40",
     "--resume",
 ]))
